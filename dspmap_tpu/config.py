@@ -1,0 +1,337 @@
+"""Map configuration: every knob of the DSP-map pipeline as one frozen dataclass.
+
+The reference (g-ch/DSP-map) spreads configuration over three tiers: compile-time
+``#define`` blocks at the top of each header (``include/dsp_dynamic.h:37-56``),
+runtime setters (``include/dsp_dynamic.h:355-382``) and a PyQt tool that rewrites
+the source text (``script/set_map_parameters.py:392-452``).  Here all of it is a
+single frozen dataclass; derived sizes (pyramid counts, slot capacities) are
+computed once and become static shapes at JAX trace time -- the TPU analogue of
+the reference's compile-time constants.
+
+The three reference header variants (``dsp_dynamic.h``,
+``dsp_dynamic_multiple_neighbors.h``, ``dsp_static.h``) share ~85% of their code
+and differ only in parameters and two behavioral switches (motion model and
+estimator); they are expressed as the presets :func:`dsp_dynamic`,
+:func:`dsp_dynamic_multi_neighbors` and :func:`dsp_static`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Literal, Tuple
+
+MotionModel = Literal["constant_velocity", "static"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """All parameters of one DSP-map instance.
+
+    Defaults mirror ``include/dsp_dynamic.h`` (the recommended Type-II map):
+    map geometry ``:38-44``, horizons ``:46-47``, FOV ``:49-50``, filter
+    parameters from the constructor init list ``:145-168``.
+    """
+
+    # --- voxel grid (dsp_dynamic.h:38-41) -------------------------------
+    nx: int = 66
+    ny: int = 66
+    nz: int = 40
+    voxel_resolution: float = 0.15
+
+    # --- FOV pyramid partition (dsp_dynamic.h:42,49-50) -----------------
+    angle_resolution_deg: int = 3
+    half_fov_h_deg: int = 42
+    half_fov_v_deg: int = 24
+    #: neighborhood radius N -> (2N+1)^2 pyramid cells take part in the
+    #: measurement update.  1 in dsp_dynamic.h (:1135-1136), 2 in
+    #: dsp_dynamic_multiple_neighbors.h (:43).
+    pyramid_neighbor_radius: int = 1
+
+    # --- particle population (dsp_dynamic.h:43-44,64-66) ----------------
+    max_particles_per_voxel: int = 9
+    #: slot capacity per voxel = safety_factor * max_particles_per_voxel
+    #: (x2 in the dynamic headers :65, x5 in dsp_static.h:63).
+    voxel_slot_safety_factor: int = 2
+    limit_motion_to_xy_plane: bool = True
+    motion_model: MotionModel = "constant_velocity"
+
+    # --- future-status prediction horizons (dsp_dynamic.h:46-47) --------
+    prediction_horizons: Tuple[float, ...] = (0.05, 0.2, 0.5, 1.0, 1.5, 2.0)
+
+    # --- filter parameters (ctor defaults, dsp_dynamic.h:154-163) -------
+    position_noise_std: float = 0.2
+    velocity_noise_std: float = 0.1
+    sigma_ob: float = 0.2
+    kappa: float = 0.01
+    p_detection: float = 0.95
+    newborn_particle_weight: float = 0.04
+    newborn_particles_per_point: int = 20
+    #: fraction of newborn particles forced static at minimum
+    #: (0.15 dsp_dynamic.h:808; 0.2 dsp_static.h:791).
+    min_static_newborn_fraction: float = 0.15
+    #: fraction of newborns whose velocity comes from the filter/estimator
+    #: model (the rest are random-velocity exploration) (dsp_dynamic.h:811).
+    model_newborn_fraction: float = 0.8
+    #: uniform random newborn velocity ranges (dsp_dynamic.h:895-897).
+    random_newborn_vxy: float = 1.5
+    random_newborn_vz: float = 0.5
+    #: extra velocity-noise multiplier for estimator-derived newborns
+    #: (dsp_dynamic.h:884-886).
+    estimator_newborn_noise_gain: float = 4.0
+
+    #: occlusion slack added to the per-pyramid max measured range
+    #: (0.3 m in dsp_dynamic.h:70,761; voxel_resolution in the other two).
+    occlusion_slack: float = 0.3
+    #: particles below this weight are removed before occupancy counting
+    #: (dsp_dynamic.h:941-942).
+    weight_cull_threshold: float = 1e-3
+    #: voxels with fewer valid particles are not resampled (dsp_dynamic.h:986).
+    resample_min_count: int = 5
+
+    # --- initial velocity estimator (dsp_dynamic.h:1377-1544) -----------
+    estimator_enabled: bool = True
+    #: ground split height & clustering tolerance derive from this
+    #: (static member, dsp_dynamic.h:132; set via
+    #: setOriginalVoxelFilterResolution :380-382).
+    voxel_filter_resolution: float = 0.15
+    dynamic_cluster_max_points: int = 200
+    dynamic_cluster_max_height: float = 1.5
+    cluster_min_points: int = 5
+    cluster_max_points: int = 10000
+    assoc_distance_gate: float = 1.5
+    assoc_point_num_gate: int = 100
+    max_cluster_velocity: float = 5.0
+
+    # --- static capacities (fixed shapes under jit) ----------------------
+    #: input point budget per frame (map_sim_example.cpp:48).
+    max_input_points: int = 5000
+    #: per-pyramid observation capacity (dsp_dynamic.h:69).
+    max_obs_points_per_pyramid: int = 100
+    #: per-pyramid particle capacity for the measurement update; ``None``
+    #: derives the reference formula SAFE_PARTICLE_NUM/PYRAMID_NUM*2
+    #: (dsp_dynamic.h:64-66) rounded up to a multiple of 8.
+    pyramid_slot_capacity: int | None = None
+    #: max tracked dynamic clusters in the velocity estimator.
+    max_clusters: int = 64
+    #: capacity of the per-frame cross-voxel mover buffer (TPU-side budget;
+    #: the reference has no analogue because it relocates serially).
+    mover_capacity: int = 1 << 17
+    #: label-propagation sweeps for Euclidean clustering (with pointer
+    #: jumping; 2^n reach per sweep covers any practical cluster diameter).
+    cluster_propagation_iters: int = 16
+
+    # ---------------------------------------------------------------- derived
+    @property
+    def voxel_num(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    @property
+    def slots_per_voxel(self) -> int:
+        return self.max_particles_per_voxel * self.voxel_slot_safety_factor
+
+    @property
+    def n_pyramids_h(self) -> int:
+        return 2 * self.half_fov_h_deg // self.angle_resolution_deg
+
+    @property
+    def n_pyramids_v(self) -> int:
+        return 2 * self.half_fov_v_deg // self.angle_resolution_deg
+
+    @property
+    def n_pyramids(self) -> int:
+        return self.n_pyramids_h * self.n_pyramids_v
+
+    @property
+    def angle_resolution_rad(self) -> float:
+        return math.radians(self.angle_resolution_deg)
+
+    @property
+    def half_fov_h_rad(self) -> float:
+        return math.radians(self.half_fov_h_deg)
+
+    @property
+    def half_fov_v_rad(self) -> float:
+        return math.radians(self.half_fov_v_deg)
+
+    @property
+    def half_extent(self) -> Tuple[float, float, float]:
+        r = self.voxel_resolution
+        return (self.nx * r * 0.5, self.ny * r * 0.5, self.nz * r * 0.5)
+
+    @property
+    def n_horizons(self) -> int:
+        return len(self.prediction_horizons)
+
+    @property
+    def pyramid_slots(self) -> int:
+        """Particle capacity per pyramid cell in the measurement update.
+
+        Reference formula (dsp_dynamic.h:63-66): SAFE_PARTICLE_NUM =
+        VOXEL_NUM*MAX_PARTICLE_NUM_VOXEL + 1e5; capacity = SAFE_PARTICLE_NUM /
+        (360*180/res^2) * 2.  Rounded up to a multiple of 8 for TPU tiling.
+        """
+        if self.pyramid_slot_capacity is not None:
+            return self.pyramid_slot_capacity
+        safe_particle_num = self.voxel_num * self.max_particles_per_voxel + 100_000
+        global_pyramids = 360 * 180 // (self.angle_resolution_deg**2)
+        cap = safe_particle_num // global_pyramids * 2
+        return _round_up(max(cap, 8), 8)
+
+    @property
+    def neighbor_cells(self) -> int:
+        n = 2 * self.pyramid_neighbor_radius + 1
+        return n * n
+
+    @property
+    def birth_capacity(self) -> int:
+        return self.max_input_points * self.newborn_particles_per_point
+
+    @property
+    def min_static_newborns(self) -> int:
+        return int(self.newborn_particles_per_point * self.min_static_newborn_fraction)
+
+    @property
+    def model_newborns(self) -> int:
+        return int(self.newborn_particles_per_point * self.model_newborn_fraction)
+
+    @property
+    def cluster_tolerance(self) -> float:
+        """Euclidean clustering tolerance = 2 x filter resolution
+        (dsp_dynamic.h:1411)."""
+        return 2.0 * self.voxel_filter_resolution
+
+    def validate(self) -> "MapConfig":
+        if 360 % self.angle_resolution_deg or 180 % self.angle_resolution_deg:
+            raise ValueError("angle_resolution_deg must divide 360 and 180")
+        if self.half_fov_h_deg % self.angle_resolution_deg:
+            raise ValueError("half_fov_h_deg must be a multiple of angle resolution")
+        if self.half_fov_v_deg % self.angle_resolution_deg:
+            raise ValueError("half_fov_v_deg must be a multiple of angle resolution")
+        if self.motion_model not in ("constant_velocity", "static"):
+            raise ValueError(f"unknown motion model {self.motion_model!r}")
+        return self
+
+
+# ------------------------------------------------------------------ presets
+
+def dsp_dynamic(**overrides) -> MapConfig:
+    """Type-II constant-velocity map, `include/dsp_dynamic.h` parameters."""
+    return dataclasses.replace(MapConfig(), **overrides).validate()
+
+
+def dsp_dynamic_multi_neighbors(**overrides) -> MapConfig:
+    """`include/dsp_dynamic_multiple_neighbors.h`: 1 deg pyramids with a
+    (2*2+1)^2 = 25-cell update neighborhood (mn:42-43), 50x50x30 grid at
+    0.2 m (mn:38-41), 30 particles/voxel (mn:44), FOV 42/27 deg (mn:50-51),
+    occlusion slack = voxel resolution (mn:761)."""
+    cfg = MapConfig(
+        nx=50,
+        ny=50,
+        nz=30,
+        voxel_resolution=0.2,
+        angle_resolution_deg=1,
+        pyramid_neighbor_radius=2,
+        max_particles_per_voxel=30,
+        half_fov_h_deg=42,
+        half_fov_v_deg=27,
+        occlusion_slack=0.2,
+        voxel_filter_resolution=0.2,
+    )
+    return dataclasses.replace(cfg, **overrides).validate()
+
+
+def dsp_static(**overrides) -> MapConfig:
+    """Type-I zero-velocity map, `include/dsp_static.h`: prediction zeroes
+    velocities (st:640-646), newborns always static (st:804-824), estimator is
+    a v=0 pass-through (st:1285-1309), 50x50x30 at 0.2 m with a x5 slot safety
+    factor (st:38-63), occlusion slack = voxel resolution (st:744), newborn
+    static floor 0.2 (st:791)."""
+    cfg = MapConfig(
+        nx=50,
+        ny=50,
+        nz=30,
+        voxel_resolution=0.2,
+        angle_resolution_deg=3,
+        half_fov_h_deg=42,
+        half_fov_v_deg=27,
+        max_particles_per_voxel=10,
+        voxel_slot_safety_factor=5,
+        motion_model="static",
+        estimator_enabled=False,
+        min_static_newborn_fraction=0.2,
+        occlusion_slack=0.2,
+        voxel_filter_resolution=0.2,
+    )
+    return dataclasses.replace(cfg, **overrides).validate()
+
+
+def example_node_settings(cfg: MapConfig) -> MapConfig:
+    """Runtime overrides applied by the reference ROS node
+    (src/map_sim_example.cpp:522-526): prediction noise 0.05/0.05,
+    observation sigma 0.1, 20 newborns of weight 1e-4 per point, 0.1 m input
+    voxel filter."""
+    return dataclasses.replace(
+        cfg,
+        position_noise_std=0.05,
+        velocity_noise_std=0.05,
+        sigma_ob=0.1,
+        newborn_particle_weight=0.0001,
+        newborn_particles_per_point=20,
+        voxel_filter_resolution=0.1,
+    ).validate()
+
+
+def performance_level_parameters(
+    level: float,
+    voxel_resolution: float = 0.15,
+    fov_angle_h: int = 87,
+    fov_angle_v: int = 51,
+) -> dict:
+    """The tuner's performance->parameter mapping as a pure function.
+
+    Mirrors ``script/set_map_parameters.py``: the level->(pyramid resolution,
+    voxel filter, particle density) piecewise map (:459-475), the derived
+    ``MAX_PARTICLE_NUM_VOXEL = density * res^3`` floored at 5 (:387-390), the
+    suggested occupancy threshold by resolution (:428-433), and the FOV
+    half-angle clipping to angle-resolution multiples (:443-452).
+
+    ``level`` in [20, 100]: higher = more accurate (1 deg pyramids, finer
+    filter, denser particles) and slower.
+    """
+    level = float(min(max(level, 20.0), 100.0))
+    if level < 35.0:
+        pyr_res, voxel_filter = 1, 0.2
+        density = int((3000 - 1000) * (level - 20) / 15 + 1000)
+    elif level < 50.0:
+        pyr_res, voxel_filter = 1, 0.15
+        density = int((3000 - 2000) * (level - 35) / 15 + 2000)
+    elif level < 70.0:
+        pyr_res, voxel_filter = 3, 0.15
+        density = int((3000 - 2000) * (level - 50) / 20 + 2000)
+    else:
+        pyr_res, voxel_filter = 3, 0.1
+        density = int((6000 - 2500) * (level - 70) / 30 + 2500)
+
+    max_ppv = max(5, int(density * voxel_resolution**3))
+    occupancy_threshold = 0.2
+    if voxel_resolution > 0.18:
+        occupancy_threshold = 0.5
+    if voxel_resolution > 0.28:
+        occupancy_threshold = 0.6
+    half_fov_h = int((fov_angle_h - pyr_res) / 2 / pyr_res) * pyr_res
+    half_fov_v = int((fov_angle_v - pyr_res) / 2 / pyr_res) * pyr_res
+    return dict(
+        angle_resolution_deg=pyr_res,
+        voxel_filter_resolution=voxel_filter,
+        particle_density=density,
+        voxel_resolution=voxel_resolution,
+        max_particles_per_voxel=max_ppv,
+        occupancy_threshold=occupancy_threshold,
+        half_fov_h_deg=half_fov_h,
+        half_fov_v_deg=half_fov_v,
+    )

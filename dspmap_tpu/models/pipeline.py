@@ -1,0 +1,196 @@
+"""The per-frame signal chain: one jittable ``step(state, frame)`` reproducing
+``DSPMap::update`` (``include/dsp_dynamic.h:181-353``) end to end:
+
+ingest -> velocity estimation -> prediction -> rebin -> FOV registration ->
+measurement update -> particle birth -> occupancy/future/resample
+
+(call-stack parity: SURVEY.md section 3.1).  The reference overlaps the
+estimator on a worker thread (``dsp_dynamic.h:297,311``); in the traced graph
+the estimator has no data dependence on prediction/update, so XLA is free to
+schedule them concurrently -- same overlap, no thread.
+
+Frame admission control matches the reference: invalid quaternion or a >10 m
+ego jump or dt outside (0, 10] skips the frame wholesale
+(``dsp_dynamic.h:193-208``) -- expressed as a ``lax.cond`` over the entire
+step body so a skipped frame is the identity on state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from .. import geometry
+from ..state import MapState
+from ..estimator import estimate_velocities
+from ..ops.propagate import propagate
+from ..ops.rebin import rebin
+from ..ops.project import project_points
+from ..ops.fov import register_fov
+from ..ops.update import measurement_update
+from ..ops.birth import particle_birth
+from ..ops.occupancy import occupancy_and_resample
+
+
+class Frame(NamedTuple):
+    """One sensor frame (the arguments of ``DSPMap::update``,
+    dsp_dynamic.h:181-184)."""
+
+    points: jnp.ndarray  # f32 [P, 3] body-frame points (after axis remap)
+    n_points: jnp.ndarray  # i32 scalar: valid prefix length of ``points``
+    sensor_pos: jnp.ndarray  # f32 [3] world position
+    quat: jnp.ndarray  # f32 [4] wxyz body->world attitude
+    timestamp: jnp.ndarray  # f32 seconds (use stream-relative times)
+
+
+class StepOutput(NamedTuple):
+    accepted: jnp.ndarray  # bool: frame passed admission control
+    weight_sum: jnp.ndarray  # f32 [V] per-voxel occupancy weight (storage order)
+    metrics: dict  # scalar counters
+
+
+def make_step(cfg: MapConfig):
+    """Build the jittable per-frame transition for ``cfg``."""
+    cfg.validate()
+
+    def step(state: MapState, frame: Frame):
+        q_ok = geometry.quaternion_is_valid(frame.quat)
+
+        last_pos = jnp.where(
+            state.initialized, state.last_sensor_pos, frame.sensor_pos
+        )
+        last_t = jnp.where(state.initialized, state.last_timestamp, frame.timestamp)
+        delta_p = frame.sensor_pos - last_pos
+        dt = frame.timestamp - last_t
+        jump_ok = jnp.all(jnp.abs(delta_p) <= 10.0) & (dt >= 0.0) & (dt <= 10.0)
+        accepted = q_ok & jump_ok
+
+        def run(state: MapState):
+            origin = geometry.window_origin(frame.sensor_pos, cfg)
+            keys = jax.random.split(state.rng, 6)
+            update_time = state.update_time + dt
+
+            # -- ingest (dsp_dynamic.h:234-293) -------------------------
+            point_valid = (
+                jnp.arange(frame.points.shape[0], dtype=jnp.int32) < frame.n_points
+            )
+            obs = project_points(
+                frame.points, point_valid, frame.sensor_pos, frame.quat, cfg
+            )
+            expected_newborn = (
+                cfg.newborn_particle_weight
+                * obs.n_valid_points.astype(jnp.float32)
+                * cfg.newborn_particles_per_point
+            )  # dsp_dynamic.h:292
+
+            # -- velocity estimation (dsp_dynamic.h:297,1377) -----------
+            est_out, est_state = estimate_velocities(
+                obs.cloud_world, obs.cloud_valid, state.estimator, cfg, dt, keys[0]
+            )
+
+            # -- prediction + rebin (dsp_dynamic.h:300,627-701) ---------
+            particles = propagate(state.particles, cfg, keys[1], dt)
+            particles, rebin_stats = rebin(particles, cfg, origin, update_time)
+
+            # -- FOV registration (dsp_dynamic.h:1232-1271) -------------
+            particles, fovbin, fov_stats = register_fov(
+                particles, cfg, frame.sensor_pos, frame.quat, keys[2]
+            )
+
+            # -- measurement update (dsp_dynamic.h:304,704-793) ---------
+            particles, c_grid, upd_stats = measurement_update(
+                particles, fovbin, obs, cfg, expected_newborn, update_time
+            )
+
+            # -- particle birth (dsp_dynamic.h:315,796-921) -------------
+            particles, birth_stats = particle_birth(
+                particles,
+                cfg,
+                keys[3],
+                est_points=est_out.points,
+                est_vel=est_out.vel,
+                est_dynamic=est_out.dynamic,
+                est_valid=est_out.valid,
+                c_grid=c_grid,
+                obs_mask=obs.mask,
+                origin=origin,
+                update_time=update_time,
+            )
+
+            # -- occupancy + future + resample (dsp_dynamic.h:322,924) --
+            particles, weight_sum, vel_avg, future, occ_stats = (
+                occupancy_and_resample(particles, cfg, origin, state.future)
+            )
+
+            new_state = dataclasses.replace(
+                state,
+                particles=particles,
+                weight_sum=weight_sum,
+                vel_avg=vel_avg,
+                future=future,
+                rng=keys[5],
+                sensor_pos=frame.sensor_pos,
+                last_sensor_pos=frame.sensor_pos,
+                origin=origin,
+                update_time=update_time,
+                last_timestamp=frame.timestamp,
+                update_counter=state.update_counter + 1,
+                initialized=jnp.asarray(True),
+                estimator=est_state,
+            )
+            metrics = {
+                "valid_points": obs.n_valid_points,
+                **rebin_stats,
+                **fov_stats,
+                **upd_stats,
+                **birth_stats,
+                **occ_stats,
+            }
+            return new_state, metrics
+
+        def skip(state: MapState):
+            zero_metrics = jax.tree.map(
+                lambda x: jnp.zeros_like(x), jax.eval_shape(run, state)[1]
+            )
+            return state, zero_metrics
+
+        new_state, metrics = jax.lax.cond(accepted, run, skip, state)
+        return new_state, StepOutput(
+            accepted=accepted,
+            weight_sum=new_state.weight_sum,
+            metrics=metrics,
+        )
+
+    return step
+
+
+def get_occupancy_map(state: MapState, cfg: MapConfig, threshold: float = 0.7):
+    """Occupancy + future-status readout (``getOccupancyMapWithFutureStatus``,
+    dsp_dynamic.h:405-426).
+
+    Returns ``(occupied_mask[V], centers[V, 3], future[V, T], new_state)`` in
+    the reference's ego voxel order (z-major, x-fastest from the window's low
+    corner); ``centers`` are world-frame voxel centers.  The readout clears
+    the future accumulators exactly like the reference (the documented
+    destructive-readout contract, dsp_dynamic.h:420-424,429-438) -- made pure
+    by returning the cleared state.
+    """
+    gather = geometry.ego_grid_gather_indices(state.origin, cfg)
+    weight = state.weight_sum[gather]
+    occupied = weight > threshold
+    wv = geometry.storage_to_world_voxel(state.origin, cfg)[gather]
+    centers = geometry.voxel_center(wv, cfg)
+    future = state.future[gather]
+    new_state = dataclasses.replace(state, future=jnp.zeros_like(state.future))
+    return occupied, centers, future, new_state
+
+
+def clear_future_prediction(state: MapState) -> MapState:
+    """``clearOccupancyMapPrediction`` (dsp_dynamic.h:429-438) for callers
+    that skip the readout."""
+    return dataclasses.replace(state, future=jnp.zeros_like(state.future))

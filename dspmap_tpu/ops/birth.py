@@ -1,0 +1,152 @@
+"""Particle birth around observed points with Dempster-Shafer static/dynamic
+arbitration (``mapAddNewBornParticlesByObservation``,
+``include/dsp_dynamic.h:796-921``; zero-velocity form ``dsp_static.h:780-829``).
+
+Semantics preserved:
+
+* newborn weight ``w = w_b * sum_z 1/C(z)`` -- the paper's delayed
+  weight-update trick (``dsp_dynamic.h:798-805``),
+* per point, existing non-newborn particles in the point's voxel are
+  classified by L1 speed (<0.1 static, <0.5 ambiguous, else dynamic) and the
+  DS combination splits the 80% model quota between static and
+  estimator-velocity newborns, with a floor on the static share
+  (``dsp_dynamic.h:829-866``),
+* birth categories by newborn index b (``dsp_dynamic.h:868-907``):
+  ``b < n_static`` -> v=0;  else if the cluster velocity is known
+  (``normal_x > -100``) and ``b < n_model`` -> v = v_est + 4*sigma_v*noise
+  (v=0 for non-dynamic-cluster points);  else uniform random
+  [-1.5,1.5]^2 x [-0.5,0.5] (v=0 for non-dynamic points),
+* empty-voxel DS degenerates to the minimum static share, mirroring the
+  reference's 0/0 -> NaN -> (int)NaN -> clamp-by-max path
+  (``dsp_dynamic.h:851-866``; float->int of NaN is x86 INT_MIN, and
+  ``max(min_static, INT_MIN)`` lands on the floor),
+* jittered newborns falling outside the map are dropped, full voxels drop
+  the surplus (``dsp_dynamic.h:875,911``).
+
+Parallel deviation (documented): the reference classifies each point against
+a pool that already contains earlier points' newborns inside the same loop
+(excluded only by the flag test ``dsp_dynamic.h:830``); we classify every
+point against the coherent pre-birth pool.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from .. import geometry
+from .insert import insert_particles
+from ..state import FLAG_NEWBORN
+
+
+def particle_birth(
+    particles,
+    cfg: MapConfig,
+    key: jax.Array,
+    *,
+    est_points: jnp.ndarray,  # [P, 3] world points from the estimator
+    est_vel: jnp.ndarray,  # [P, 3] cluster velocity (sentinel < -100 if unknown)
+    est_dynamic: jnp.ndarray,  # [P] bool: from a dynamic-candidate cluster
+    est_valid: jnp.ndarray,  # [P] bool
+    c_grid: jnp.ndarray,  # [n_pyr, K] measurement normalizers C(z)
+    obs_mask: jnp.ndarray,  # [n_pyr, K]
+    origin: jnp.ndarray,
+    update_time,
+):
+    """Returns ``(new_particles, stats)``."""
+    P = est_points.shape[0]
+    n_b = cfg.newborn_particles_per_point
+
+    # Newborn weight from the C-normalizer sum (dsp_dynamic.h:798-805).
+    norm_coeff = jnp.sum(jnp.where(obs_mask, 1.0 / c_grid, 0.0))
+    w_new = cfg.newborn_particle_weight * norm_coeff
+
+    # --- per-point DS classification (dsp_dynamic.h:827-866) -----------
+    wv = geometry.world_voxel(est_points, cfg)
+    in_map = geometry.in_window(wv, origin, cfg)
+    point_valid = est_valid & in_map
+    cell = jnp.where(point_valid, geometry.storage_index(wv, cfg), 0)
+
+    slot_flags = particles.flags[:, cell]  # [S, P]
+    considered = (slot_flags != 0) & (slot_flags != FLAG_NEWBORN)
+    l1 = (
+        jnp.abs(particles.vx[:, cell])
+        + jnp.abs(particles.vy[:, cell])
+        + jnp.abs(particles.vz[:, cell])
+    )
+    w_slot = particles.weight[:, cell] * considered
+    w_static = jnp.sum(jnp.where(l1 < 0.1, w_slot, 0.0), axis=0)
+    w_mid = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_slot, 0.0), axis=0)
+    w_dyn = jnp.sum(jnp.where(l1 >= 0.5, w_slot, 0.0), axis=0)
+
+    total = w_static + w_mid + w_dyn
+    p_static = (2.0 * w_static + w_mid) * 0.5
+    p_dynamic = (2.0 * w_dyn + w_mid) * 0.5
+    p_static_norm = jnp.where(total > 0.0, p_static / (p_static + p_dynamic), 0.0)
+
+    n_model = cfg.model_newborns
+    n_static = jnp.maximum(
+        cfg.min_static_newborns,
+        jnp.floor(n_model * p_static_norm).astype(jnp.int32),
+    )  # [P]
+
+    # --- birth table [P, n_b] ------------------------------------------
+    key_p, key_v, key_u = jax.random.split(key, 3)
+    b = jnp.arange(n_b, dtype=jnp.int32)[None, :]  # [1, n_b]
+    pos = (
+        est_points[:, None, :]
+        + jax.random.normal(key_p, (P, n_b, 3), jnp.float32) * cfg.position_noise_std
+    )
+
+    if cfg.motion_model == "static":
+        # dsp_static.h:804-824: every newborn is static, no DS arbitration.
+        vel = jnp.zeros((P, n_b, 3), jnp.float32)
+    else:
+        vel_known = est_vel[:, 0] > -100.0  # sentinel test (dsp_dynamic.h:881)
+        v_model = jnp.where(
+            est_dynamic[:, None, None],
+            est_vel[:, None, :]
+            + cfg.estimator_newborn_noise_gain
+            * cfg.velocity_noise_std
+            * jax.random.normal(key_v, (P, n_b, 3), jnp.float32),
+            0.0,
+        )
+        span = jnp.asarray(
+            [cfg.random_newborn_vxy, cfg.random_newborn_vxy, cfg.random_newborn_vz],
+            jnp.float32,
+        )
+        v_random = jnp.where(
+            est_dynamic[:, None, None],
+            jax.random.uniform(key_u, (P, n_b, 3), jnp.float32, -1.0, 1.0) * span,
+            0.0,
+        )
+        is_static_b = b < n_static[:, None]
+        is_model_b = (~is_static_b) & vel_known[:, None] & (b < n_model)
+        vel = jnp.where(
+            is_static_b[:, :, None],
+            0.0,
+            jnp.where(is_model_b[:, :, None], v_model, v_random),
+        )
+        if cfg.limit_motion_to_xy_plane:
+            vel = vel.at[:, :, 2].set(0.0)  # dsp_dynamic.h:905-907
+
+    births = P * n_b
+    valid = jnp.broadcast_to(point_valid[:, None], (P, n_b)).ravel()
+    new_particles = insert_particles(
+        particles,
+        cfg,
+        pos=pos.reshape(births, 3),
+        vel=vel.reshape(births, 3),
+        weight=jnp.full((births,), w_new, jnp.float32),
+        valid=valid,
+        origin=origin,
+        flag=FLAG_NEWBORN,
+        t=update_time,
+    )
+    stats = {
+        "birth_candidates": jnp.sum(valid),
+        "born": jnp.sum(new_particles.newborn),
+        "newborn_weight": w_new,
+    }
+    return new_particles, stats

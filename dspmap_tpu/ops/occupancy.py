@@ -1,0 +1,171 @@
+"""Occupancy extraction, multi-horizon future prediction and per-voxel
+systematic resampling (``mapOccupancyCalculationAndResample``,
+``include/dsp_dynamic.h:924-1057``).
+
+Reference semantics preserved:
+
+* particles below the weight floor are removed first (``:941-942``),
+* per-voxel weight sum counts every survivor incl. newborns (``:968-974``),
+  mean velocity counts only old particles (``:944-948,976-984``),
+* every old particle scatters its weight into the voxel containing
+  ``p + v*tau`` for each horizon tau (``:950-964``),
+* voxels with more than ``resample_min_count`` survivors are resampled to at
+  most ``max_particles_per_voxel`` equal-weight particles by a systematic
+  (low-variance) sweep with stride ``w_total/n`` and half-stride offset
+  (``:1004-1053``); copies that find no free slot fold their weight back into
+  the source so mass is conserved (``:1037-1041``),
+* all surviving flags reset to plain valid (``:968``).
+
+TPU formulation: the reference's in-voxel sequential walk becomes a cumsum
+over the slot axis -- the number of resampling grid points
+``w_stride*(k+1/2)`` falling in a particle's cumulative-weight span is a
+closed-form difference, so survivors, copy counts and fold-backs are all
+elementwise.  Copy placement reuses the free-slot ranking trick from
+:mod:`.insert`, entirely inside each voxel.  The future-status scatter splits
+the population: exactly-static particles (the overwhelming majority, thanks
+to the reference's own zero-velocity birth policy) contribute their weight to
+their own voxel at every horizon with no scatter at all; only moving
+particles are compacted and scattered.
+
+Parallel deviation (documented): free slots freed by *later* dropped
+particles are visible to earlier particles' copies (the reference's forward
+re-scan makes them visible only to later sources); differs only when a voxel
+is nearly full, mass is conserved either way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from .. import geometry
+from .common import compact_mask
+from ..state import FLAG_VALID
+
+
+def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, future_in):
+    """Returns ``(new_particles, weight_sum[V], vel_avg[V,3], future[V,T], stats)``."""
+    S, V = particles.flags.shape
+
+    # ---- weight cull (dsp_dynamic.h:941-942) ---------------------------
+    flags = jnp.where(
+        particles.valid & (particles.weight < cfg.weight_cull_threshold),
+        jnp.uint8(0),
+        particles.flags,
+    )
+    valid = flags != 0
+    newborn = flags == 3
+    old = valid & ~newborn
+    w = particles.weight
+
+    # ---- per-voxel aggregates -----------------------------------------
+    weight_sum = jnp.sum(jnp.where(valid, w, 0.0), axis=0)  # [V]
+    n_old = jnp.sum(old, axis=0)
+    denom = jnp.maximum(n_old, 1).astype(jnp.float32)
+    vel_avg = jnp.stack(
+        [
+            jnp.sum(jnp.where(old, f, 0.0), axis=0) / denom
+            for f in (particles.vx, particles.vy, particles.vz)
+        ],
+        axis=-1,
+    ) * (n_old > 0)[:, None]
+
+    # ---- future-status prediction (dsp_dynamic.h:950-964) --------------
+    moving = old & (
+        (particles.vx != 0.0) | (particles.vy != 0.0) | (particles.vz != 0.0)
+    )
+    static_contrib = jnp.sum(jnp.where(old & ~moving, w, 0.0), axis=0)  # [V]
+    future = future_in + static_contrib[:, None]
+
+    idx, sel, n_moving, n_overflow = compact_mask(moving, cfg.mover_capacity)
+    m_pos = jnp.stack(
+        [particles.px.ravel()[idx], particles.py.ravel()[idx], particles.pz.ravel()[idx]],
+        axis=-1,
+    )
+    m_vel = jnp.stack(
+        [particles.vx.ravel()[idx], particles.vy.ravel()[idx], particles.vz.ravel()[idx]],
+        axis=-1,
+    )
+    m_w = jnp.where(sel, w.ravel()[idx], 0.0)
+    for t_i, tau in enumerate(cfg.prediction_horizons):
+        fpos = m_pos + m_vel * tau
+        wv = geometry.world_voxel(fpos, cfg)
+        ok = sel & geometry.in_window(wv, origin, cfg)
+        tgt = jnp.where(ok, geometry.storage_index(wv, cfg), V)
+        future = future.at[:, t_i].add(
+            jnp.zeros((V + 1,), jnp.float32).at[tgt].add(m_w, mode="drop")[:V]
+        )
+
+    # ---- systematic resampling (dsp_dynamic.h:986-1055) ----------------
+    count = jnp.sum(valid, axis=0)  # [V]
+    do_rs = count >= cfg.resample_min_count
+    n_target = jnp.minimum(count, cfg.max_particles_per_voxel)
+    wa = jnp.where(do_rs, weight_sum / jnp.maximum(n_target, 1), 1.0)  # [V]
+
+    wv_ = jnp.where(valid, w, 0.0)
+    hi = jnp.cumsum(wv_, axis=0)  # [S, V]
+    lo = hi - wv_
+
+    def n_grid(x):  # grid points wa*(k+1/2) strictly below x
+        return jnp.maximum(jnp.ceil(x / wa - 0.5), 0.0).astype(jnp.int32)
+
+    copies = jnp.where(valid & do_rs, n_grid(hi) - n_grid(lo), 0)  # [S, V]
+    kept = valid & do_rs & (copies >= 1)
+    dropped = valid & do_rs & (copies == 0)
+    extra = jnp.maximum(copies - 1, 0)
+
+    # Free-slot pool: dead slots plus freshly dropped ones.
+    is_free = (~valid) | dropped
+    free_rank = jnp.cumsum(is_free, axis=0) - is_free  # exclusive, [S, V]
+    total_free = jnp.sum(is_free, axis=0)  # [V]
+
+    # Copy placement: free slot with rank r sources the particle j such that
+    # demand_end[j-1] <= r < demand_end[j].
+    demand_end = jnp.cumsum(extra, axis=0)  # inclusive, [S, V]
+    total_extra = demand_end[-1]  # [V]
+    src_idx = jnp.sum(
+        (demand_end[:, None, :] <= free_rank[None, :, :]).astype(jnp.int32), axis=0
+    )  # [S, V]: for each slot (as free slot), its source slot index
+    filled = is_free & (free_rank < jnp.minimum(total_extra, total_free)) & do_rs
+
+    # Fold-back for copies that found no space (dsp_dynamic.h:1037-1041).
+    demand_start = demand_end - extra
+    placed = jnp.clip(total_free[None, :] - demand_start, 0, extra)
+    unplaced = (extra - placed).astype(jnp.float32)
+
+    def from_src(field):
+        return jnp.take_along_axis(field, jnp.minimum(src_idx, S - 1), axis=0)
+
+    new_w = jnp.where(kept, wa * (1.0 + unplaced), w)
+    new_w = jnp.where(filled, wa, new_w)
+    new_flags = jnp.where(valid, FLAG_VALID, flags)  # newborn reset (:968)
+    new_flags = jnp.where(dropped, jnp.uint8(0), new_flags)
+    new_flags = jnp.where(filled, FLAG_VALID, new_flags)
+
+    def place(field):
+        return jnp.where(filled, from_src(field), field)
+
+    new_particles = dataclasses.replace(
+        particles,
+        flags=new_flags,
+        px=place(particles.px),
+        py=place(particles.py),
+        pz=place(particles.pz),
+        vx=place(particles.vx),
+        vy=place(particles.vy),
+        vz=place(particles.vz),
+        weight=new_w,
+        t=place(particles.t),
+    )
+    stats = {
+        "alive": jnp.sum(new_particles.valid),
+        "culled": jnp.sum(particles.valid) - jnp.sum(valid),
+        "resampled_voxels": jnp.sum(do_rs),
+        "resample_dropped": jnp.sum(dropped),
+        "resample_copies": jnp.sum(filled),
+        "future_moving": n_moving,
+        "future_overflow": n_overflow,
+    }
+    return new_particles, weight_sum, vel_avg, future, stats

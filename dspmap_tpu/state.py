@@ -1,0 +1,224 @@
+"""Map state as a pure JAX pytree (the TPU translation of the reference's
+file-scope static arrays, ``include/dsp_dynamic.h:112-140``).
+
+The reference holds exactly one map per process because all storage is static
+globals (``dsp_dynamic.h:116-140``); here the entire filter state is a value,
+so maps are first-class: checkpointable (it is just arrays), shardable
+(``parallel/``), and vmappable (multi-map / multi-sensor).
+
+Storage layout is slots-major SoA ``[S, V]`` (S = slots per voxel, V = voxel
+count): per-voxel reductions -- weight sums, velocity means, resampling
+cumsums -- become reductions/scans over the small leading axis with the long
+voxel axis vectorized on VPU lanes.  The reference's AoS
+``voxels_with_particle[V][S][9]`` (``dsp_dynamic.h:116``) would put the
+9-float record on the lane axis instead.
+
+Flag encoding (cf. the reference's float flags, ``dsp_dynamic.h:112,1186,
+1219,1027``): the reference distinguishes {0 invalid, 1 valid, 0.6
+resample-copy, 7 just-moved, 15 newborn}, but 0.6 and 7 only exist to guard
+its in-place sequential scans against double-processing; a functional update
+has no such hazard.  What remains observable is {dead, valid, newborn}:
+newborns are excluded from velocity averaging, future prediction
+(``dsp_dynamic.h:944``) and birth-time Dempster-Shafer classification
+(``dsp_dynamic.h:830``), and everything is reset to plain valid during
+occupancy/resample (``dsp_dynamic.h:968``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import MapConfig
+from . import geometry
+
+FLAG_DEAD = jnp.uint8(0)
+FLAG_VALID = jnp.uint8(1)
+FLAG_NEWBORN = jnp.uint8(3)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["flags", "px", "py", "pz", "vx", "vy", "vz", "weight", "t"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class Particles:
+    """SoA particle pool, all fields ``[S, V]``.
+
+    Mirrors the per-slot record {flag, vx, vy, vz, px, py, pz, weight,
+    update_time} of ``dsp_dynamic.h:114-116``; positions/velocities are world
+    frame (see geometry module docstring for the world-vs-ego deviation).
+    """
+
+    flags: jnp.ndarray  # uint8 [S, V]
+    px: jnp.ndarray  # f32 [S, V]
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    weight: jnp.ndarray
+    t: jnp.ndarray  # last-update timestamp (CSV/analysis parity)
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return self.flags != FLAG_DEAD
+
+    @property
+    def newborn(self) -> jnp.ndarray:
+        return self.flags == FLAG_NEWBORN
+
+    def pos(self) -> jnp.ndarray:
+        """Stacked positions ``[S, V, 3]`` (materialize only when needed)."""
+        return jnp.stack([self.px, self.py, self.pz], axis=-1)
+
+    def vel(self) -> jnp.ndarray:
+        return jnp.stack([self.vx, self.vy, self.vz], axis=-1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["prev_centers", "prev_point_num", "prev_intensity", "prev_valid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class EstimatorState:
+    """Previous-frame dynamic-cluster features for cross-frame association
+    (the reference keeps these in a function-local static,
+    ``dsp_dynamic.h:1401,1542``)."""
+
+    prev_centers: jnp.ndarray  # f32 [C, 3]
+    prev_point_num: jnp.ndarray  # i32 [C]
+    prev_intensity: jnp.ndarray  # f32 [C] (visualization id carried across matches)
+    prev_valid: jnp.ndarray  # bool [C]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "particles",
+        "weight_sum",
+        "vel_avg",
+        "future",
+        "rng",
+        "sensor_pos",
+        "last_sensor_pos",
+        "origin",
+        "update_time",
+        "last_timestamp",
+        "update_counter",
+        "initialized",
+        "estimator",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class MapState:
+    """Complete filter state threaded through :func:`dspmap_tpu.models.step`."""
+
+    particles: Particles
+    #: per-voxel weight sum (voxels_objects_number[:,0], dsp_dynamic.h:118-120)
+    weight_sum: jnp.ndarray  # f32 [V]
+    #: per-voxel mean velocity of old particles (voxels_objects_number[:,1:4])
+    vel_avg: jnp.ndarray  # f32 [V, 3]
+    #: future-status accumulators (voxels_objects_number[:,4:]); cleared by
+    #: the occupancy readout exactly like the reference (dsp_dynamic.h:420-424)
+    future: jnp.ndarray  # f32 [V, T]
+    rng: jax.Array
+    sensor_pos: jnp.ndarray  # f32 [3] (current_position, dsp_dynamic.h:131)
+    last_sensor_pos: jnp.ndarray  # f32 [3]
+    origin: jnp.ndarray  # i32 [3] map-window origin in world-voxel coords
+    update_time: jnp.ndarray  # f32 scalar, cumulative map time
+    last_timestamp: jnp.ndarray  # f64/f32 scalar
+    update_counter: jnp.ndarray  # i32 scalar
+    initialized: jnp.ndarray  # bool scalar (first-frame delta handling)
+    estimator: EstimatorState
+
+
+def init_estimator_state(cfg: MapConfig) -> EstimatorState:
+    c = cfg.max_clusters
+    return EstimatorState(
+        prev_centers=jnp.zeros((c, 3), jnp.float32),
+        prev_point_num=jnp.zeros((c,), jnp.int32),
+        prev_intensity=jnp.zeros((c,), jnp.float32),
+        prev_valid=jnp.zeros((c,), bool),
+    )
+
+
+def init_state(
+    cfg: MapConfig,
+    key: jax.Array,
+    sensor_pos=(0.0, 0.0, 0.0),
+    init_particle_num: int = 0,
+    init_weight: float = 0.01,
+) -> MapState:
+    """Fresh map centered at ``sensor_pos``.
+
+    Optionally scatters ``init_particle_num`` uniform particles with velocity
+    components in [-1, 1] (addRandomParticles, dsp_dynamic.h:594-624); the
+    reference default constructor adds zero (dsp_dynamic.h:145,172).
+    """
+    s, v = cfg.slots_per_voxel, cfg.voxel_num
+    sensor = jnp.asarray(sensor_pos, jnp.float32)
+    zeros = lambda: jnp.zeros((s, v), jnp.float32)
+    particles = Particles(
+        flags=jnp.zeros((s, v), jnp.uint8),
+        px=zeros(), py=zeros(), pz=zeros(),
+        vx=zeros(), vy=zeros(), vz=zeros(),
+        weight=zeros(), t=zeros(),
+    )
+    state = MapState(
+        particles=particles,
+        weight_sum=jnp.zeros((v,), jnp.float32),
+        vel_avg=jnp.zeros((v, 3), jnp.float32),
+        future=jnp.zeros((v, cfg.n_horizons), jnp.float32),
+        rng=key,
+        sensor_pos=sensor,
+        last_sensor_pos=sensor,
+        origin=geometry.window_origin(sensor, cfg),
+        update_time=jnp.float32(0.0),
+        last_timestamp=jnp.float32(0.0),
+        update_counter=jnp.int32(0),
+        initialized=jnp.asarray(False),
+        estimator=init_estimator_state(cfg),
+    )
+    if init_particle_num > 0:
+        state = add_random_particles(state, cfg, init_particle_num, init_weight)
+    return state
+
+
+def add_random_particles(
+    state: MapState, cfg: MapConfig, num: int, avg_weight: float
+) -> MapState:
+    """Uniformly scatter ``num`` particles over the window (dsp_dynamic.h:594-624).
+
+    The reference draws uniform positions and linear-probes each particle into
+    its voxel, dropping on overflow; here we draw one candidate per (slot,
+    voxel) cell directly and keep a random subset of exactly the same expected
+    density -- an equivalent uniform scatter without the serial probe.
+    """
+    from .ops.insert import insert_particles  # local import to avoid cycle
+
+    key, k1, k2, k3 = jax.random.split(state.rng, 4)
+    half = jnp.asarray(cfg.half_extent, jnp.float32)
+    pos = state.sensor_pos + jax.random.uniform(
+        k1, (num, 3), jnp.float32, -1.0, 1.0
+    ) * half
+    vel = jax.random.uniform(k2, (num, 3), jnp.float32, -1.0, 1.0)
+    weight = jnp.full((num,), avg_weight, jnp.float32)
+    particles = insert_particles(
+        state.particles,
+        cfg,
+        pos=pos,
+        vel=vel,
+        weight=weight,
+        valid=jnp.ones((num,), bool),
+        origin=state.origin,
+        flag=FLAG_VALID,
+        t=state.update_time,
+    )
+    return dataclasses.replace(state, particles=particles, rng=key)

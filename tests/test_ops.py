@@ -1,0 +1,181 @@
+"""Kernel-level unit tests: insertion capacity semantics, compaction, and the
+systematic-resampling bucketing vs a direct port of the reference's serial
+walk (test-only oracle of dsp_dynamic.h:1004-1053)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dspmap_tpu import MapConfig, dsp_dynamic, init_state
+from dspmap_tpu import geometry
+from dspmap_tpu.ops.common import compact_mask, sort_by_destination
+from dspmap_tpu.ops.insert import insert_particles
+from dspmap_tpu.ops.occupancy import occupancy_and_resample
+
+
+def tiny_cfg(**kw) -> MapConfig:
+    base = dict(
+        nx=16, ny=16, nz=8,
+        max_input_points=256,
+        mover_capacity=4096,
+        pyramid_slot_capacity=64,
+        max_clusters=16,
+    )
+    base.update(kw)
+    return dsp_dynamic(**base)
+
+
+def test_compact_mask_order_and_overflow():
+    mask = jnp.asarray([0, 1, 1, 0, 1, 0, 1, 1], bool)
+    idx, valid, n, overflow = compact_mask(mask, 3)
+    np.testing.assert_array_equal(np.asarray(idx), [1, 2, 4])
+    assert np.asarray(valid).all()
+    assert int(n) == 3 and int(overflow) == 2
+
+
+def test_sort_by_destination_ranks():
+    dest = jnp.asarray([5, 2, 5, 2, 2, 9])
+    valid = jnp.asarray([1, 1, 1, 1, 0, 1], bool)
+    order, sdest, ranks = sort_by_destination(dest, valid)
+    np.testing.assert_array_equal(np.asarray(sdest)[:5], [2, 2, 5, 5, 9])
+    np.testing.assert_array_equal(np.asarray(ranks)[:5], [0, 1, 0, 1, 0])
+    # stability: first 2-destination candidate is index 1, then 3
+    np.testing.assert_array_equal(np.asarray(order)[:2], [1, 3])
+
+
+def test_insert_respects_capacity_and_order():
+    cfg = tiny_cfg()
+    state = init_state(cfg, jax.random.key(0))
+    S = cfg.slots_per_voxel
+    # all candidates into one voxel: the first S fit, the rest vanish
+    M = S + 7
+    center = jnp.asarray(state.sensor_pos)
+    pos = jnp.tile(center, (M, 1))
+    vel = jnp.zeros((M, 3))
+    w = jnp.arange(1, M + 1, dtype=jnp.float32)
+    p = insert_particles(
+        state.particles, cfg,
+        pos=pos, vel=vel, weight=w,
+        valid=jnp.ones((M,), bool),
+        origin=state.origin, flag=jnp.uint8(3), t=0.0,
+    )
+    assert int(jnp.sum(p.valid)) == S
+    cell = int(geometry.storage_index(geometry.world_voxel(center, cfg), cfg))
+    got = np.sort(np.asarray(p.weight[:, cell]))
+    # first-come order: weights 1..S survive
+    np.testing.assert_allclose(got, np.arange(1, S + 1))
+
+
+def test_insert_drops_out_of_window():
+    cfg = tiny_cfg()
+    state = init_state(cfg, jax.random.key(0))
+    pos = jnp.asarray([[100.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    p = insert_particles(
+        state.particles, cfg,
+        pos=pos, vel=jnp.zeros((2, 3)), weight=jnp.ones((2,)),
+        valid=jnp.ones((2,), bool),
+        origin=state.origin, flag=jnp.uint8(1), t=0.0,
+    )
+    assert int(jnp.sum(p.valid)) == 1
+
+
+def _resample_oracle(weights, valid, max_ppv, min_count=5):
+    """Direct port of the reference's serial resampling walk for one voxel
+    (test oracle of dsp_dynamic.h:986-1055).  Returns final per-slot weights
+    (0 = dead) ignoring slot identity of copies."""
+    S = len(weights)
+    w = weights.copy()
+    alive = valid.copy()
+    count = int(valid.sum())
+    wsum = float(w[valid].sum())
+    if count < min_count:
+        return w * valid
+    n_target = min(count, max_ppv)
+    wa = wsum / n_target
+    acc_ori, acc_new = 0.0, wa * 0.5
+    out = np.zeros(S)
+    free = list(np.nonzero(~valid)[0])
+    copies = []
+    for p in range(S):
+        if not alive[p]:
+            continue
+        acc_ori += w[p]
+        if acc_ori > acc_new:
+            out[p] = wa
+            acc_new += wa
+            while acc_ori > acc_new:
+                if free:
+                    copies.append(wa)
+                    free.pop(0)
+                else:
+                    out[p] += wa
+                acc_new += wa
+        else:
+            out[p] = 0.0
+            free.append(p)
+    return np.concatenate([out, np.asarray(copies)]) if copies else out
+
+
+def test_resample_matches_serial_oracle_mass_and_counts():
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(3)
+    state = init_state(cfg, jax.random.key(1))
+    S, V = cfg.slots_per_voxel, cfg.voxel_num
+    # populate a band of voxels with random particles
+    n_vox = 50
+    cells = rng.choice(V, size=n_vox, replace=False)
+    flags = np.zeros((S, V), np.uint8)
+    weights = np.zeros((S, V), np.float32)
+    for c in cells:
+        k = rng.integers(1, S + 1)
+        slots = rng.choice(S, size=k, replace=False)
+        flags[slots, c] = 1
+        weights[slots, c] = rng.uniform(0.002, 1.0, size=k)
+    wv_all = np.asarray(geometry.storage_to_world_voxel(state.origin, cfg))
+    centers = (wv_all + 0.5) * cfg.voxel_resolution
+    p = dataclasses.replace(
+        state.particles,
+        flags=jnp.asarray(flags),
+        weight=jnp.asarray(weights),
+        px=jnp.broadcast_to(jnp.asarray(centers[:, 0]), (S, V)),
+        py=jnp.broadcast_to(jnp.asarray(centers[:, 1]), (S, V)),
+        pz=jnp.broadcast_to(jnp.asarray(centers[:, 2]), (S, V)),
+    )
+    new_p, wsum, vel_avg, future, stats = occupancy_and_resample(
+        p, cfg, state.origin, state.future
+    )
+    new_w = np.asarray(new_p.weight)
+    new_valid = np.asarray(new_p.valid)
+    for c in cells:
+        oracle = _resample_oracle(
+            weights[:, c].astype(np.float64),
+            flags[:, c] > 0,
+            cfg.max_particles_per_voxel,
+            cfg.resample_min_count,
+        )
+        got = new_w[:, c][new_valid[:, c]]
+        # mass conservation & particle count match the serial walk
+        np.testing.assert_allclose(
+            got.sum(), oracle[oracle > 0].sum(), rtol=1e-4
+        ), c
+        assert len(got) == (oracle > 0).sum(), c
+        # multiset of weights matches
+        np.testing.assert_allclose(
+            np.sort(got), np.sort(oracle[oracle > 0]), rtol=1e-4
+        )
+    # weight_sum equals the pre-resample sums
+    np.testing.assert_allclose(
+        np.asarray(wsum)[cells],
+        np.asarray([weights[:, c][flags[:, c] > 0].sum() for c in cells]),
+        rtol=1e-5,
+    )
+    # future accumulators: static particles contribute their weight at every
+    # horizon into their own voxel
+    fut = np.asarray(future)
+    for c in cells:
+        np.testing.assert_allclose(
+            fut[c], np.full(cfg.n_horizons, weights[:, c][flags[:, c] > 0].sum()),
+            rtol=1e-5,
+        )

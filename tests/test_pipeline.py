@@ -1,0 +1,147 @@
+"""End-to-end pipeline tests on a synthetic scene (tiny map for CPU speed):
+frame admission control, occupancy emergence over static structure, future
+prediction, and the static-variant behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dspmap_tpu import (
+    dsp_dynamic,
+    dsp_static,
+    example_node_settings,
+    init_state,
+    make_step,
+    get_occupancy_map,
+    Frame,
+)
+from dspmap_tpu.utils import sim
+
+
+def small_cfg(**kw):
+    base = dict(
+        nx=24, ny=24, nz=12,
+        voxel_resolution=0.25,
+        max_input_points=1024,
+        mover_capacity=8192,
+        pyramid_slot_capacity=96,
+        max_clusters=16,
+    )
+    base.update(kw)
+    return base
+
+
+def run_frames(cfg, n_frames=8, seed=0, speed=0.5):
+    state = init_state(cfg, jax.random.key(0))
+    step = jax.jit(make_step(cfg))
+    outs = []
+    for pts, n, pos, quat, t in sim.generate_sequence(
+        n_frames, cfg, seed=seed, speed=speed
+    ):
+        frame = Frame(
+            points=jnp.asarray(pts),
+            n_points=jnp.int32(n),
+            sensor_pos=jnp.asarray(pos),
+            quat=jnp.asarray(quat),
+            timestamp=jnp.asarray(t),
+        )
+        state, out = step(state, frame)
+        outs.append(out)
+    return state, outs
+
+
+@pytest.mark.parametrize(
+    "preset", [dsp_dynamic, dsp_static], ids=["dynamic", "static"]
+)
+def test_pipeline_builds_occupancy(preset):
+    cfg = example_node_settings(preset(**small_cfg()))
+    state, outs = run_frames(cfg, n_frames=8)
+    assert all(bool(o.accepted) for o in outs)
+    alive = int(outs[-1].metrics["alive"])
+    assert alive > 500, alive
+    # occupancy must appear near true obstacle surfaces
+    occ, centers, future, state = get_occupancy_map(state, cfg, threshold=0.2)
+    occ = np.asarray(occ)
+    assert occ.sum() > 10
+    centers = np.asarray(centers)[occ]
+    # every occupied voxel center should be near some scene surface: walls at
+    # y=+-4, pillars, pedestrians, or ground (z <= ~0.3)
+    near_ground = centers[:, 2] < 0.5
+    near_wall = np.abs(np.abs(centers[:, 1] - 0.0) - 4.0) < 0.8
+    plausible = near_ground | near_wall
+    # pillars/pedestrians region
+    plausible |= (centers[:, 0] > 2.0) & (centers[:, 0] < 9.0)
+    assert plausible.mean() > 0.9, centers[~plausible][:20]
+    # future accumulators cleared by readout
+    assert float(jnp.sum(state.future)) == 0.0
+
+
+def test_frame_admission_control():
+    cfg = example_node_settings(dsp_dynamic(**small_cfg()))
+    state = init_state(cfg, jax.random.key(0))
+    step = jax.jit(make_step(cfg))
+    pts = jnp.zeros((cfg.max_input_points, 3), jnp.float32)
+    good = Frame(pts, jnp.int32(0), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
+                 jnp.float32(0.0))
+    state, out = step(state, good)
+    assert bool(out.accepted)
+    # bad quaternion
+    bad_q = good._replace(quat=jnp.asarray([2.0, 0.0, 0.0, 0.0]),
+                          timestamp=jnp.float32(0.1))
+    state, out = step(state, bad_q)
+    assert not bool(out.accepted)
+    # ego jump > 10 m (dsp_dynamic.h:203-208)
+    jump = good._replace(sensor_pos=jnp.asarray([50.0, 0.0, 0.0]),
+                         timestamp=jnp.float32(0.2))
+    state2, out = step(state, jump)
+    assert not bool(out.accepted)
+    # negative dt
+    back = good._replace(timestamp=jnp.float32(-5.0))
+    state3, out = step(state, back)
+    assert not bool(out.accepted)
+    # skipped frames leave the particle pool untouched
+    np.testing.assert_array_equal(
+        np.asarray(state2.particles.flags), np.asarray(state.particles.flags)
+    )
+
+
+def test_static_map_keeps_world_static_under_ego_motion():
+    """With the static model, mapped structure must stay at the same world
+    position while the robot moves (the reference achieves this by shifting
+    all particles; we move the window instead)."""
+    cfg = example_node_settings(dsp_static(**small_cfg()))
+    scene = sim.Scene(
+        boxes=[sim.Box(np.array([2.0, 1.0, 1.0]), np.array([0.5, 0.5, 2.0]),
+                       np.zeros(3))]
+    )
+    state = init_state(cfg, jax.random.key(0))
+    step = jax.jit(make_step(cfg))
+    for pts, n, pos, quat, t in sim.generate_sequence(
+        10, cfg, scene=scene, speed=0.8
+    ):
+        state, _ = step(state, Frame(jnp.asarray(pts), jnp.int32(n),
+                                     jnp.asarray(pos), jnp.asarray(quat),
+                                     jnp.asarray(t)))
+    occ, centers, future, _ = get_occupancy_map(state, cfg, threshold=0.2)
+    centers = np.asarray(centers)[np.asarray(occ)]
+    assert len(centers) > 5
+    # the pillar must be mapped at its world position (2.0, 1.0) even though
+    # the robot has moved ~0.8 m
+    above_ground = centers[centers[:, 2] > 0.5]
+    assert len(above_ground) > 0
+    near_pillar = (
+        np.linalg.norm(above_ground[:, :2] - np.array([2.0, 1.0]), axis=1) < 0.7
+    )
+    assert near_pillar.mean() > 0.8, above_ground[:30]
+
+
+def test_future_prediction_tracks_motion():
+    """A fast obstacle's future occupancy at tau=2s should lead its current
+    position along its velocity."""
+    cfg = example_node_settings(dsp_dynamic(**small_cfg()))
+    state, outs = run_frames(cfg, n_frames=8)
+    occ, centers, future, _ = get_occupancy_map(state, cfg, threshold=0.2)
+    future = np.asarray(future)
+    assert future.shape == (cfg.voxel_num, cfg.n_horizons)
+    assert future.sum() > 0.0
