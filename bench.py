@@ -1,0 +1,85 @@
+"""Benchmark: map updates/sec of the full-size DSP-Dynamic pipeline on the
+available accelerator (one TPU chip under the driver).
+
+Workload parity with the reference's default dynamic configuration
+(`include/dsp_dynamic.h:38-50`: 66x66x40 voxels @ 0.15 m, 3 deg pyramids,
+9 particles/voxel) fed by the synthetic street scene at the reference node's
+input budget (<=5000 points/frame, `src/map_sim_example.cpp:48`).
+
+Baseline: the reference's single-core per-frame update time measured by
+compiling its header against the stub toolchain in tools/oracle (the repo
+publishes no numbers, see BASELINE.md).  If `BASELINE_MEASURED.json` is
+missing, a conservative 10 ms/frame (100 updates/sec) placeholder is used and
+flagged in the output.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import dspmap_tpu as dm
+    from dspmap_tpu.utils import sim
+
+    cfg = dm.example_node_settings(dm.dsp_dynamic())
+    state = dm.init_state(cfg, jax.random.key(0))
+    step = jax.jit(dm.make_step(cfg), donate_argnums=0)
+
+    n_warmup, n_bench = 3, 30
+    frames = []
+    for pts, n, pos, quat, t in sim.generate_sequence(
+        n_warmup + n_bench, cfg, seed=0
+    ):
+        frames.append(
+            dm.Frame(
+                jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+                jnp.asarray(quat), jnp.asarray(t),
+            )
+        )
+
+    for f in frames[:n_warmup]:
+        state, out = step(state, f)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for f in frames[n_warmup:]:
+        state, out = step(state, f)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    updates_per_sec = n_bench / dt
+
+    baseline_file = Path(__file__).parent / "BASELINE_MEASURED.json"
+    if baseline_file.exists():
+        baseline = json.loads(baseline_file.read_text())["updates_per_sec"]
+    else:
+        baseline = 100.0  # placeholder: 10 ms/frame single-core estimate
+
+    alive = int(out.metrics["alive"])
+    result = {
+        "metric": "map_updates_per_sec",
+        "value": round(updates_per_sec, 2),
+        "unit": "updates/s (66x66x40 @ 0.15m, <=5000 pts/frame)",
+        "vs_baseline": round(updates_per_sec / baseline, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# device={jax.devices()[0].device_kind} frame_ms={1e3 / updates_per_sec:.2f} "
+        f"alive_particles={alive} baseline_updates_per_sec={baseline}"
+        f"{' (placeholder)' if not baseline_file.exists() else ''}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

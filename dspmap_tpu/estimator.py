@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from .config import MapConfig
 from .state import EstimatorState
 from .ops.cluster import euclidean_cluster
-from .ops.assignment import auction_assignment
+from .ops.assignment import solve_assignment
 from .ops.common import compact_mask
 
 
@@ -144,7 +144,7 @@ def estimate_velocities(
     )
     dt_ok = (dt > 1e-5) & (dt < 10.0)  # dsp_dynamic.h:1455
     any_pairs = dt_ok & (n_clusters > 0) & jnp.any(prev.prev_valid)
-    assigned = auction_assignment(cost, slot_valid, prev.prev_valid)
+    assigned = solve_assignment(cost, slot_valid, prev.prev_valid)
     assigned = jnp.where(any_pairs, assigned, -1)
 
     matched = assigned >= 0

@@ -1,18 +1,21 @@
-"""Batched linear-assignment solve by synchronous auction with eps-scaling.
+"""Exact linear-assignment solve (Jonker-Volgenant shortest augmenting path)
+in fixed-shape JAX.
 
 Replaces the reference's external Munkres/Hungarian library call
 (``include/dsp_dynamic.h:1474-1475``, ``libmunkres.a`` per
-``CMakeLists.txt:31-34``) with a vectorized Bertsekas auction: all unassigned
-rows bid simultaneously for their best column (bid = value gap to the
-second-best plus eps), columns go to the highest bidder, and eps is annealed
-so the final assignment is optimal up to ``n * eps_final`` -- below the cost
-quantum of the reference's gated cost matrix (costs are ``dist/gate * 1000``
-or the gate penalty 7500, ``dsp_dynamic.h:1462-1470``), so ties aside it
-reproduces the Munkres result.  Everything is fixed-shape ``lax.while_loop``
-with a hard iteration bound; rows left unassigned at the bound report no
-match (a conservative degradation the downstream birth logic already
-tolerates -- unmatched clusters keep the velocity sentinel,
-``dsp_dynamic.h:1497``).
+``CMakeLists.txt:31-34``).  The solver is the classic O(n^3)
+potentials-plus-Dijkstra formulation: for each row, grow a shortest
+augmenting path over columns (the inner relaxation is a vectorized column
+sweep), update dual potentials by the bottleneck slack, and flip the path.
+All loops are ``lax.fori_loop`` / ``lax.while_loop`` with static bounds --
+cluster counts are small (<= ``MapConfig.max_clusters``), so this is microsec
+work once jitted, and unlike an auction it is exact and deterministic, which
+keeps cross-frame track association reproducible.
+
+Rectangular instances are squared up with a finite dummy cost above the real
+range: any matching on real pairs dominates a dummy pair, so the square
+optimum restricted to real columns is exactly the rectangular Munkres result
+(per-pair swap argument); dummy assignments are reported as "no match".
 """
 
 from __future__ import annotations
@@ -22,15 +25,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG = -1.0e9
+INF = jnp.float32(1.0e12)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def auction_assignment(
+@jax.jit
+def solve_assignment(
     cost: jnp.ndarray,  # [R, C] finite costs (smaller = better)
     row_valid: jnp.ndarray,  # [R] bool
     col_valid: jnp.ndarray,  # [C] bool
-    max_iters: int = 600,
 ) -> jnp.ndarray:
     """Min-cost one-to-one assignment.  Returns ``col_of_row[R]`` (-1 = none).
 
@@ -38,68 +40,96 @@ def auction_assignment(
     rectangular Munkres solve.
     """
     R, C = cost.shape
-    benefit = jnp.where(
-        row_valid[:, None] & col_valid[None, :], -cost.astype(jnp.float32), NEG
+    N = max(R, C)
+    pair_ok = row_valid[:, None] & col_valid[None, :]
+    spread = jnp.maximum(jnp.max(jnp.where(pair_ok, cost, 0.0)), 1.0)
+    dummy = spread * 2.0 + 1.0
+    a = jnp.full((N, N), 0.0, jnp.float32)
+    a = a.at[:R, :C].set(jnp.where(pair_ok, cost.astype(jnp.float32), dummy))
+    a = jnp.where(
+        (jnp.arange(N)[:, None] >= R) | (jnp.arange(N)[None, :] >= C), dummy, a
     )
-    spread = jnp.maximum(jnp.max(jnp.where(benefit > NEG, cost, 0.0)), 1.0)
-    eps_phases = 6
-    n_valid_cols = jnp.sum(col_valid)
 
-    def run_phase(carry, phase):
-        assign, prices = carry
-        eps = spread / (4.0**phase.astype(jnp.float32)) / 5.0 + 1e-3
-        assign = jnp.full((R,), -1, jnp.int32)  # restart assignment each phase
-        col_owner = jnp.full((C,), -1, jnp.int32)
+    # e-maxx formulation with a virtual column 0; arrays are 1-indexed on the
+    # column axis (size N+1), p[j] = row matched to column j (0 = none yet).
+    def assign_row(carry, i):
+        u, v, p = carry  # u:[N+1] row potentials, v:[N+1], p:[N+1] owners
 
-        def body(st):
-            assign, col_owner, prices, it = st
-            value = benefit - prices[None, :]
-            unassigned = row_valid & (assign < 0)
-            best_col = jnp.argmax(value, axis=1)
-            best_val = jnp.max(value, axis=1)
-            second_val = jnp.max(
-                jnp.where(
-                    jax.nn.one_hot(best_col, C, dtype=bool), NEG, value
-                ),
-                axis=1,
-            )
-            bid = jnp.where(unassigned, best_val - second_val + eps, NEG)
-            # Column awards: highest bidder per column wins.
-            bid_col = jnp.where(unassigned, best_col, C)
-            bid_matrix = jnp.full((C + 1, R), NEG).at[bid_col, jnp.arange(R)].set(
-                jnp.where(unassigned, bid, NEG)
-            )[:C]
-            winner = jnp.argmax(bid_matrix, axis=1)  # [C]
-            won = jnp.max(bid_matrix, axis=1) > NEG / 2
-            new_prices = jnp.where(won, prices + jnp.max(bid_matrix, axis=1), prices)
-            # Evict previous owners of claimed columns, then assign winners.
-            claimed_owner = jnp.where(won, col_owner, -1)
-            assign = jnp.where(
-                jnp.isin(jnp.arange(R), claimed_owner), -1, assign
-            )
-            new_owner = jnp.where(won, winner, col_owner)
-            assign = assign.at[jnp.where(won, winner, R)].set(
-                jnp.arange(C, dtype=jnp.int32), mode="drop"
-            )
-            return assign, new_owner, new_prices, it + 1
+        p = p.at[0].set(i)
+        minv = jnp.full((N + 1,), INF)
+        way = jnp.zeros((N + 1,), jnp.int32)
+        used = jnp.zeros((N + 1,), bool)
 
-        def cond(st):
-            assign, _, _, it = st
-            n_unassigned = jnp.sum(row_valid & (assign < 0))
-            # Stop when all rows that *can* be assigned are assigned.
-            assignable = jnp.minimum(jnp.sum(row_valid), n_valid_cols)
-            return (jnp.sum(row_valid & (assign >= 0)) < assignable) & (
-                it < max_iters
-            )
+        def path_cond(st):
+            _, _, _, _, _, j0, done = st
+            return ~done
 
-        assign, col_owner, prices, _ = jax.lax.while_loop(
-            cond, body, (assign, col_owner, prices, jnp.int32(0))
+        def path_body(st):
+            u, v, minv, way, used, j0, _ = st
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            # relax all unused columns through row i0
+            cur = a[i0 - 1, :] - u[i0] - v[1:]
+            better = (~used[1:]) & (cur < minv[1:])
+            minv = minv.at[1:].set(jnp.where(better, cur, minv[1:]))
+            way = way.at[1:].set(jnp.where(better, j0, way[1:]))
+            # bottleneck column
+            masked = jnp.where(used[1:], INF, minv[1:])
+            j1 = jnp.argmin(masked).astype(jnp.int32) + 1
+            delta = masked[j1 - 1]
+            # dual update: u[p[j]] += delta, v[j] -= delta for used j
+            u = u.at[p].add(jnp.where(used, delta, 0.0))
+            v = v - jnp.where(used, delta, 0.0)
+            minv = minv.at[1:].set(
+                jnp.where(used[1:], minv[1:], minv[1:] - delta)
+            )
+            done = p[j1] == 0
+            return u, v, minv, way, used, j1, done
+
+        u, v, minv, way, used, j0, _ = jax.lax.while_loop(
+            path_cond, path_body, (u, v, minv, way, used, jnp.int32(0), False)
         )
-        return (assign, prices), None
 
-    (assign, _), _ = jax.lax.scan(
-        run_phase,
-        (jnp.full((R,), -1, jnp.int32), jnp.zeros((C,), jnp.float32)),
-        jnp.arange(eps_phases),
+        # unwind the augmenting path
+        def unwind_cond(st):
+            _, j0 = st
+            return j0 != 0
+
+        def unwind_body(st):
+            p, j0 = st
+            j1 = way[j0]
+            p = p.at[j0].set(p[j1])
+            return p, j1
+
+        p, _ = jax.lax.while_loop(unwind_cond, unwind_body, (p, j0))
+        return (u, v, p), None
+
+    u0 = jnp.zeros((N + 1,), jnp.float32)
+    v0 = jnp.zeros((N + 1,), jnp.float32)
+    p0 = jnp.zeros((N + 1,), jnp.int32)
+    (_, _, p), _ = jax.lax.scan(
+        assign_row, (u0, v0, p0), jnp.arange(1, N + 1, dtype=jnp.int32)
     )
-    return assign
+
+    # p[j] = row (1-based) matched to col j (1-based) -> col_of_row
+    col_of_row = (
+        jnp.full((N + 1,), -1, jnp.int32)
+        .at[p[1:]]
+        .set(jnp.arange(1, N + 1, dtype=jnp.int32))
+    )
+    res = col_of_row[1 : R + 1] - 1  # back to 0-based columns
+    res = jnp.where((res >= 0) & (res < C), res, -1)
+    # strip dummy-cost pairs (invalid pairs / padding)
+    is_real = (
+        row_valid
+        & (res >= 0)
+        & jnp.take_along_axis(
+            pair_ok, jnp.maximum(res, 0)[:, None], axis=1
+        )[:, 0]
+    )
+    return jnp.where(is_real, res, -1)
+
+
+# Backwards-compatible alias (earlier revisions shipped an auction solver).
+def auction_assignment(cost, row_valid, col_valid, **_ignored):
+    return solve_assignment(cost, row_valid, col_valid)

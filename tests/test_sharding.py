@@ -1,0 +1,74 @@
+"""Map-parallel sharding: the full step compiles and runs SPMD on a virtual
+8-device CPU mesh and agrees with the single-device result."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dspmap_tpu import dsp_dynamic, init_state, make_step, Frame
+from dspmap_tpu.parallel import make_mesh, shard_state, state_shardings
+from dspmap_tpu.utils import sim
+
+
+def cfg_for(n_devices):
+    return dsp_dynamic(
+        nx=16, ny=16, nz=4 * n_devices,
+        max_input_points=512,
+        mover_capacity=2048,
+        pyramid_slot_capacity=32,
+        max_clusters=8,
+        newborn_particles_per_point=4,
+    )
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_step_matches_single_device(n_devices):
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    cfg = cfg_for(n_devices)
+    step = make_step(cfg)
+
+    frames = []
+    for pts, n, pos, quat, t in sim.generate_sequence(3, cfg, seed=5):
+        frames.append(Frame(jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+                            jnp.asarray(quat), jnp.asarray(t)))
+
+    # single device
+    s1 = init_state(cfg, jax.random.key(0))
+    step1 = jax.jit(step)
+    for f in frames:
+        s1, o1 = step1(s1, f)
+
+    # sharded
+    mesh = make_mesh(n_devices)
+    s2 = shard_state(init_state(cfg, jax.random.key(0)), mesh)
+    step2 = jax.jit(step, in_shardings=(state_shardings(mesh, s2), None))
+    for f in frames:
+        s2, o2 = step2(s2, f)
+
+    # SPMD must be numerically identical to single-device execution
+    np.testing.assert_array_equal(
+        np.asarray(s1.particles.flags), np.asarray(s2.particles.flags)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.weight_sum), np.asarray(s2.weight_sum), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.future), np.asarray(s2.future), rtol=1e-5
+    )
+    assert int(o1.metrics["alive"]) == int(o2.metrics["alive"])
+
+    # the sharded state really is distributed
+    shards = s2.particles.weight.sharding
+    assert len(shards.device_set) == n_devices
+
+
+def test_graft_entry_dryrun():
+    import importlib.util, pathlib
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
