@@ -28,6 +28,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the tunneled-TPU remote compile of the
+    # full step module is minutes-slow; cache it across bench runs.
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_threefry_partitionable", True)
+
     sys.path.insert(0, str(Path(__file__).parent))
     import dspmap_tpu as dm
     from dspmap_tpu.utils import sim

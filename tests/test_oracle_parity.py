@@ -1,0 +1,93 @@
+"""Behavioral parity vs the compiled reference (stochastic tolerance).
+
+Builds the reference oracle from the UNMODIFIED headers in /root/reference
+(tools/oracle), replays the same synthetic street sequence through both maps,
+and compares occupancy in world space.  Because the two filters use different
+RNG streams (and ours deliberately fixes the reference's non-reproducible
+``srand(time(0))``), the comparison is distributional -- occupancy IoU-style
+agreement within tolerance, not bitwise state (SURVEY.md section 7.3 item 6).
+
+These tests are skipped if the oracle toolchain is unavailable.
+"""
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+ORACLE = REPO / "tools" / "oracle"
+
+
+def _have_toolchain():
+    return shutil.which("g++") is not None and (
+        Path("/root/reference/include/dsp_dynamic.h").exists()
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle_bins():
+    if not _have_toolchain():
+        pytest.skip("no g++ or reference checkout")
+    if not (ORACLE / "bin" / "oracle_dynamic").exists():
+        subprocess.run([str(ORACLE / "build.sh")], check=True)
+    return ORACLE / "bin"
+
+
+def _match_stats(ours: np.ndarray, ref: np.ndarray, tol: float):
+    """Fraction of each set within ``tol`` of the other (chamfer-style)."""
+    if len(ours) == 0 or len(ref) == 0:
+        return 0.0, 0.0
+    d = np.linalg.norm(ours[:, None, :] - ref[None, :, :], axis=-1)
+    ours_matched = (d.min(axis=1) <= tol).mean()
+    ref_matched = (d.min(axis=0) <= tol).mean()
+    return ours_matched, ref_matched
+
+
+@pytest.mark.slow
+def test_occupancy_parity_dynamic(oracle_bins):
+    sys.path.insert(0, str(ORACLE))
+    from run_oracle import make_frames, run
+
+    import dspmap_tpu as dm
+
+    n_frames, max_points = 25, 3000
+    frames = make_frames(n_frames, max_points, seed=4, dense=False)
+    ref = run("dynamic", frames, max_points, threshold=0.2)
+
+    cfg = dm.example_node_settings(dm.dsp_dynamic(max_input_points=max_points))
+    state = dm.init_state(cfg, jax.random.key(0))
+    step = jax.jit(dm.make_step(cfg))
+    ours_per_frame = []
+    for pts, n, pos, quat, t in frames:
+        frame = dm.Frame(
+            jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+            jnp.asarray(quat), jnp.asarray(np.float32(t)),
+        )
+        state, out = step(state, frame)
+        occ, centers, future, state = dm.get_occupancy_map(state, cfg, 0.2)
+        ours_per_frame.append(
+            (np.asarray(centers)[np.asarray(occ)], np.asarray(pos))
+        )
+
+    # compare the last few frames in world space, half-voxel + sub-voxel
+    # window-quantization tolerance
+    tol = cfg.voxel_resolution * 1.6
+    fracs = []
+    for k in range(-5, 0):
+        ours_world, pos = ours_per_frame[k]
+        ref_ego = ref["frames"][k]["ego_centers"]
+        ref_world = ref_ego + frames[k][2]  # ego + sensor position
+        m_ours, m_ref = _match_stats(ours_world, ref_world, tol)
+        fracs.append((m_ours, m_ref, len(ours_world), len(ref_world)))
+    m_ours = np.mean([f[0] for f in fracs])
+    m_ref = np.mean([f[1] for f in fracs])
+    # Most of what we mark occupied the reference marks occupied and vice
+    # versa (stochastic filters, different RNG -> not exact)
+    assert m_ours > 0.75, fracs
+    assert m_ref > 0.75, fracs
