@@ -35,6 +35,32 @@ from .config import MapConfig
 
 # ------------------------------------------------------------- quaternions
 
+def rotation_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """3x3 rotation matrix of a unit quaternion (wxyz).
+
+    For planar SoA math: applying 9 scalar coefficients to coordinate planes
+    avoids materializing ``[..., 3]``-stacked tensors whose 3-wide trailing
+    axis wastes TPU lanes.
+    """
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)]),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)]),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]),
+        ]
+    )
+
+
+def rotate_planar(R: jnp.ndarray, px, py, pz):
+    """Apply a rotation matrix to coordinate planes (any matching shapes)."""
+    return (
+        R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz,
+        R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz,
+        R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz,
+    )
+
+
 def quaternion_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Rotate vectors ``v[..., 3]`` by unit quaternion(s) ``q[..., 4]`` (wxyz).
 
@@ -198,3 +224,49 @@ def pyramid_index_world(
     """
     p_sensor = quaternion_rotate(q_conj, pos_world - sensor_pos)
     return pyramid_index(p_sensor, cfg)
+
+
+def pyramid_index_planar(sx, sy, sz, cfg: MapConfig):
+    """Planar (SoA) form of :func:`pyramid_index` for sensor-frame coordinate
+    planes of any shape.  Returns ``(flat_cell, in_fov)``."""
+    res = cfg.angle_resolution_rad
+    az = jnp.arctan2(sy, sx)
+    el = jnp.arctan2(sz, sx)
+    in_fov = (
+        (jnp.abs(az) <= cfg.half_fov_h_rad)
+        & (jnp.abs(el) <= cfg.half_fov_v_rad)
+        & (sx > 0.0)
+    )
+    h = jnp.clip(
+        jnp.floor((az + cfg.half_fov_h_rad) / res).astype(jnp.int32),
+        0, cfg.n_pyramids_h - 1,
+    )
+    v = jnp.clip(
+        jnp.floor((cfg.half_fov_v_rad - el) / res).astype(jnp.int32),
+        0, cfg.n_pyramids_v - 1,
+    )
+    return h * cfg.n_pyramids_v + v, in_fov
+
+
+def world_voxel_planar(px, py, pz, cfg: MapConfig):
+    inv = 1.0 / cfg.voxel_resolution
+    return (
+        jnp.floor(px * inv).astype(jnp.int32),
+        jnp.floor(py * inv).astype(jnp.int32),
+        jnp.floor(pz * inv).astype(jnp.int32),
+    )
+
+
+def in_window_planar(wx, wy, wz, origin: jnp.ndarray, cfg: MapConfig):
+    rx, ry, rz = wx - origin[0], wy - origin[1], wz - origin[2]
+    return (
+        (rx >= 0) & (rx < cfg.nx)
+        & (ry >= 0) & (ry < cfg.ny)
+        & (rz >= 0) & (rz < cfg.nz)
+    )
+
+
+def storage_index_planar(wx, wy, wz, cfg: MapConfig):
+    return (
+        jnp.mod(wz, cfg.nz) * cfg.ny + jnp.mod(wy, cfg.ny)
+    ) * cfg.nx + jnp.mod(wx, cfg.nx)

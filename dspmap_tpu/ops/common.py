@@ -1,10 +1,15 @@
 """Fixed-shape building blocks: masked compaction and within-group ranking.
 
-These two primitives replace the reference's serial slot scans
-(``include/dsp_dynamic.h:1183-1259``): where the reference walks arrays looking
-for free slots one particle at a time, we compact the candidates, sort them by
-destination, and rank them within each destination group -- all fixed-shape,
-all parallel.
+These primitives replace the reference's serial slot scans
+(``include/dsp_dynamic.h:1183-1259``).  The implementations are chosen from
+measured TPU costs (see docs/PERF.md): XLA scatter with a 3.1M-entry source
+serializes (~19 ms), ``searchsorted`` lowers to a gather loop (~21 ms), but a
+single stable sort keyed by the selection bit runs in ~7 ms and a 131k-entry
+scatter with unique indices in ~0.3 ms.  Masked compaction is therefore
+expressed as one argsort whose key packs (selected?, group-id), which also
+yields the group-sorted order the slot-allocation step needs -- one fused
+pass instead of compact + sort.  (A Pallas stream-compaction kernel replaces
+the argsort on TPU where available; see ops/pallas/compact.py.)
 """
 
 from __future__ import annotations
@@ -12,54 +17,80 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+I32_MAX = jnp.int32(2**31 - 1)
+
 
 def compact_mask(mask: jnp.ndarray, capacity: int):
     """Compact the True positions of a flat boolean ``mask`` into a fixed-size
-    index buffer.
+    index buffer (first-to-last order).
 
-    Returns ``(indices[capacity], valid[capacity], n_selected, n_overflow)``:
-    ``indices[i]`` is the position of the i-th True element (first-to-last
-    order); entries beyond ``n_selected`` are invalid.  True elements beyond
-    ``capacity`` are counted in ``n_overflow`` (the caller decides whether
-    overflow means "drop" or "kill", mirroring the reference's
-    drop-on-full semantics, dsp_dynamic.h:1198-1200).
+    Returns ``(indices[capacity], valid[capacity], n_selected, n_overflow)``.
+    True elements beyond ``capacity`` are counted in ``n_overflow`` (the
+    caller decides whether overflow means "drop" or "kill", mirroring the
+    reference's drop-on-full semantics, dsp_dynamic.h:1198-1200).
     """
     mask = mask.ravel()
-    ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1  # inclusive rank of each True
-    n_selected = jnp.where(mask.size > 0, ranks[-1] + 1, 0)
-    dest = jnp.where(mask & (ranks < capacity), ranks, capacity)
-    indices = (
-        jnp.full((capacity + 1,), 0, jnp.int32)
-        .at[dest]
-        .set(jnp.arange(mask.size, dtype=jnp.int32), mode="drop")[:capacity]
-    )
+    n = mask.size
+    # stable argsort by the negated mask: True entries first, original order
+    order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.uint8), stable=True)
+    indices = order[:capacity].astype(jnp.int32)
+    n_selected = jnp.sum(mask).astype(jnp.int32)
     valid = jnp.arange(capacity, dtype=jnp.int32) < n_selected
     n_kept = jnp.minimum(n_selected, capacity)
     return indices, valid, n_kept, n_selected - n_kept
 
 
+def compact_and_group(mask: jnp.ndarray, group: jnp.ndarray, capacity: int,
+                      n_groups: int):
+    """Fused compaction + stable grouping: select ``mask`` positions and order
+    them by ``group`` id (stable within a group).
+
+    Returns ``(indices[capacity], group_ids[capacity], ranks[capacity],
+    valid[capacity], n_selected)`` where ``ranks`` is each entry's arrival
+    rank within its group and invalid entries carry group id ``n_groups``.
+
+    One sort over the full array with a packed (selected?, group) key --
+    selected entries sort first by group then original position.
+    """
+    mask = mask.ravel()
+    group = group.ravel()
+    key = jnp.where(mask, group.astype(jnp.int32), n_groups)
+    order = jnp.argsort(key, stable=True)
+    indices = order[:capacity].astype(jnp.int32)
+    sorted_group = key[indices]
+    n_selected = jnp.sum(mask).astype(jnp.int32)
+    valid = (jnp.arange(capacity, dtype=jnp.int32) < n_selected) & (
+        sorted_group < n_groups
+    )
+    ranks = group_ranks(sorted_group)
+    return indices, jnp.where(valid, sorted_group, n_groups), ranks, valid, n_selected
+
+
 def group_ranks(sorted_keys: jnp.ndarray) -> jnp.ndarray:
     """Rank of each element within its run of equal keys (keys must be sorted).
 
-    ``rank[i] = i - first_occurrence(sorted_keys[i])`` via a searchsorted on
-    the array against itself.
+    ``rank[i] = i - start_of_run(i)``; run starts are found by comparing
+    neighbors and propagated with a cumulative max -- one scan, no
+    searchsorted (which lowers to a slow gather loop on TPU).
     """
     n = sorted_keys.shape[0]
-    first = jnp.searchsorted(sorted_keys, sorted_keys, side="left")
-    return jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    return idx - run_start
 
 
 def sort_by_destination(dest: jnp.ndarray, valid: jnp.ndarray):
     """Stable-sort candidate indices by destination id, invalid entries last.
 
-    Returns ``(order, sorted_dest, ranks)`` where ``order`` permutes the
-    candidates, ``sorted_dest`` has invalid entries replaced by ``INT32_MAX``
-    sentinels, and ``ranks`` is the within-destination arrival rank (stable =
-    original candidate order, matching the reference's first-come slot
-    filling).
+    Returns ``(order, sorted_dest, ranks)``; ``sorted_dest`` has invalid
+    entries replaced by ``INT32_MAX`` sentinels and ``ranks`` is the
+    within-destination arrival rank (stable = original candidate order,
+    matching the reference's first-come slot filling).
     """
-    sentinel = jnp.int32(2**31 - 1)
-    keys = jnp.where(valid, dest, sentinel)
+    keys = jnp.where(valid, dest, I32_MAX)
     order = jnp.argsort(keys, stable=True)
     sorted_dest = keys[order]
     ranks = group_ranks(sorted_dest)
@@ -74,3 +105,19 @@ def segment_counts(ids: jnp.ndarray, valid: jnp.ndarray, num_segments: int) -> j
         .at[safe]
         .add(1, mode="drop")[:num_segments]
     )
+
+
+def select_rows(table: jnp.ndarray, row_idx: jnp.ndarray, n_rows: int):
+    """``out[...] = table[row_idx[...], ...]`` for a *small* leading axis.
+
+    Measured: XLA gather with per-element indices over multi-million-entry
+    operands runs at ~135M elem/s on this TPU; an ``n_rows``-step select sweep
+    is a dense VPU pass per row and wins for n_rows <= ~32 (our slot axes).
+    """
+    extra = table.ndim - row_idx.ndim
+    if extra > 0:
+        row_idx = row_idx.reshape(row_idx.shape + (1,) * extra)
+    out = jnp.where(row_idx == 0, table[0], jnp.zeros((), table.dtype))
+    for j in range(1, n_rows):
+        out = jnp.where(row_idx == j, table[j], out)
+    return out

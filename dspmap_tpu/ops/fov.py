@@ -6,15 +6,20 @@ cell's slot list, vanishing if the cell is full, and receives an extra
 velocity perturbation (``moveParticle``, ``include/dsp_dynamic.h:1232-1271``).
 
 Here the table is recomputed per frame as dense gather tensors: in-FOV
-particles are compacted, sorted by pyramid cell and ranked; rank overflow
-beyond the per-cell capacity kills the particle (the pyramid-full vanish path,
-``dsp_dynamic.h:1256-1259``).  The dense ``[n_pyramids, pyramid_slots]``
-layout is exactly what the measurement-update matmul kernel consumes.
+particles are compacted AND pyramid-sorted in one stable sort keyed by
+(in-FOV?, pyramid); rank overflow beyond the per-cell capacity kills the
+particle (the pyramid-full vanish path, ``dsp_dynamic.h:1256-1259``).  The
+dense ``[n_pyramids, pyramid_slots]`` layout is exactly what the measurement
+update's matmul kernel consumes.  All binned-tensor scatters use unique
+indices (vectorized on TPU); all geometry runs on coordinate planes (no
+``[..., 3]`` stacking).
 
 Quirk preserved (``dsp_dynamic.h:1261-1269``): surviving in-FOV particles
-with ``|vx*vy*vz| >= 1e-6`` get extra vx/vy noise and vz hard-zeroed --
-note the vz zeroing here is unconditional in the reference, independent of
-``LIMIT_MOVEMENT_IN_XY_PLANE``.
+with ``|vx*vy*vz| >= 1e-6`` get extra vx/vy noise and vz hard-zeroed -- the
+vz zeroing here is unconditional in the reference, independent of
+``LIMIT_MOVEMENT_IN_XY_PLANE``.  Under xy-limited configs vz is identically
+zero, the product is zero, and the branch is statically dead -- elided
+exactly (see ops/propagate.py docstring).
 """
 
 from __future__ import annotations
@@ -27,7 +32,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask, sort_by_destination
+from .common import compact_and_group
 
 
 class FovBinning(NamedTuple):
@@ -56,81 +61,80 @@ def register_fov(
     n_pyr, s_pyr = cfg.n_pyramids, cfg.pyramid_slots
     f_cap = n_pyr * s_pyr
 
-    q_conj = geometry.quaternion_conjugate(quat)
-    ego = particles.pos() - sensor_pos  # [S, V, 3]
-    pyr, in_fov = geometry.pyramid_index_world(
-        particles.pos(), sensor_pos, q_conj, cfg
-    )
+    # Sensor-frame coordinates of every slot, on planes.
+    Rm = geometry.rotation_matrix(geometry.quaternion_conjugate(quat))
+    ex = particles.px - sensor_pos[0]
+    ey = particles.py - sensor_pos[1]
+    ez = particles.pz - sensor_pos[2]
+    sx, sy, sz = geometry.rotate_planar(Rm, ex, ey, ez)
+    pyr, in_fov = geometry.pyramid_index_planar(sx, sy, sz, cfg)
     fov_mask = particles.valid & in_fov  # [S, V]
 
-    idx, sel_valid, n_fov, n_global_overflow = compact_mask(fov_mask, f_cap)
-    cand_pyr = pyr.ravel()[idx]
-
-    order, sorted_pyr, ranks = sort_by_destination(cand_pyr, sel_valid)
-    in_bounds = sorted_pyr < n_pyr
-    keep = in_bounds & (ranks < s_pyr)
-    kill = in_bounds & ~keep  # pyramid-cell overflow -> vanish
-    src = idx[order]  # flat [S*V] index per sorted candidate
+    # Fused compaction + pyramid grouping (one stable sort over the pool).
+    idx, cand_pyr, ranks, sel_valid, n_fov = compact_and_group(
+        fov_mask, pyr, f_cap, n_pyr
+    )
+    keep = sel_valid & (ranks < s_pyr)
+    kill = sel_valid & ~keep  # pyramid-cell overflow -> vanish
 
     # Kill overflow particles (dsp_dynamic.h:1256-1259).
-    flags = particles.flags.ravel().at[jnp.where(kill, src, S * V)].set(
+    flags = particles.flags.ravel().at[jnp.where(kill, idx, S * V)].set(
         jnp.uint8(0), mode="drop"
     ).reshape(S, V)
 
-    # Extra in-FOV velocity noise on survivors (dsp_dynamic.h:1261-1269).
-    alive_fov = fov_mask & (flags != 0)
-    noise = (
-        jax.random.normal(key, (2,) + particles.vx.shape, jnp.float32)
-        * cfg.velocity_noise_std
-    )
-    keep_still = jnp.abs(particles.vx * particles.vy * particles.vz) < 1e-6
-    jitter = alive_fov & ~keep_still
-    vx = jnp.where(jitter, particles.vx + noise[0], particles.vx)
-    vy = jnp.where(jitter, particles.vy + noise[1], particles.vy)
-    vz = jnp.where(jitter, 0.0, particles.vz)
+    # Extra in-FOV velocity noise on survivors (dsp_dynamic.h:1261-1269);
+    # statically dead under xy-limited configs (vz == 0 for all particles).
+    if cfg.limit_motion_to_xy_plane or cfg.motion_model == "static":
+        vx, vy, vz = particles.vx, particles.vy, particles.vz
+        alive_extra = None
+    else:
+        alive_fov = fov_mask & (flags != 0)
+        noise = (
+            jax.random.normal(key, (2,) + particles.vx.shape, jnp.float32)
+            * cfg.velocity_noise_std
+        )
+        keep_still = jnp.abs(particles.vx * particles.vy * particles.vz) < 1e-6
+        jitter = alive_fov & ~keep_still
+        vx = jnp.where(jitter, particles.vx + noise[0], particles.vx)
+        vy = jnp.where(jitter, particles.vy + noise[1], particles.vy)
+        vz = jnp.where(jitter, 0.0, particles.vz)
+        alive_extra = jitter
 
     new_particles = dataclasses.replace(particles, flags=flags, vx=vx, vy=vy, vz=vz)
 
-    # Dense binned tensors for the update kernel.
-    cell = jnp.where(keep, sorted_pyr * s_pyr + ranks, f_cap)
-    pos_flat = jnp.stack(
-        [new_particles.px.ravel(), new_particles.py.ravel(), new_particles.pz.ravel()],
-        axis=-1,
+    # Dense binned tensors: all scatters hit unique (pyramid, rank) cells.
+    cell = jnp.where(keep, cand_pyr * s_pyr + ranks, f_cap)
+    px = particles.px.ravel()[idx]
+    py = particles.py.ravel()[idx]
+    pz = particles.pz.ravel()[idx]
+    w = new_particles.weight.ravel()[idx]
+    rng_c = jnp.sqrt(
+        (px - sensor_pos[0]) ** 2
+        + (py - sensor_pos[1]) ** 2
+        + (pz - sensor_pos[2]) ** 2
     )
-    rng_flat = jnp.linalg.norm(ego.reshape(-1, 3), axis=-1)
 
-    bpos = (
-        jnp.zeros((f_cap + 1, 3), jnp.float32)
-        .at[cell]
-        .set(pos_flat[src], mode="drop")[:f_cap]
-        .reshape(n_pyr, s_pyr, 3)
-    )
-    bw = (
-        jnp.zeros((f_cap + 1,), jnp.float32)
-        .at[cell]
-        .set(new_particles.weight.ravel()[src], mode="drop")[:f_cap]
-        .reshape(n_pyr, s_pyr)
-    )
-    brng = (
-        jnp.zeros((f_cap + 1,), jnp.float32)
-        .at[cell]
-        .set(rng_flat[src], mode="drop")[:f_cap]
-        .reshape(n_pyr, s_pyr)
-    )
-    bmask = (
-        jnp.zeros((f_cap + 1,), bool).at[cell].set(True, mode="drop")[:f_cap]
-        .reshape(n_pyr, s_pyr)
-    )
+    def scat(vals, fill=0.0):
+        return (
+            jnp.full((f_cap + 1,) + vals.shape[1:], fill, vals.dtype)
+            .at[cell]
+            .set(vals, mode="drop", unique_indices=True)[:f_cap]
+        )
+
+    bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, s_pyr, 3)
+    bw = scat(w).reshape(n_pyr, s_pyr)
+    brng = scat(rng_c).reshape(n_pyr, s_pyr)
+    bmask = scat(keep).reshape(n_pyr, s_pyr)
     bslot = (
         jnp.full((f_cap + 1,), S * V, jnp.int32)
         .at[cell]
-        .set(src, mode="drop")[:f_cap]
+        .set(idx, mode="drop", unique_indices=True)[:f_cap]
         .reshape(n_pyr, s_pyr)
     )
 
     stats = {
-        "in_fov": n_fov,
+        "in_fov": jnp.minimum(n_fov, f_cap),
         "pyramid_full_killed": jnp.sum(kill),
-        "fov_global_overflow": n_global_overflow,
+        "fov_global_overflow": jnp.maximum(n_fov - f_cap, 0),
     }
     return new_particles, FovBinning(bpos, bw, brng, bmask, bslot), stats

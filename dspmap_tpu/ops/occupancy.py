@@ -9,28 +9,22 @@ Reference semantics preserved:
   mean velocity counts only old particles (``:944-948,976-984``),
 * every old particle scatters its weight into the voxel containing
   ``p + v*tau`` for each horizon tau (``:950-964``),
-* voxels with more than ``resample_min_count`` survivors are resampled to at
+* voxels with at least ``resample_min_count`` survivors are resampled to at
   most ``max_particles_per_voxel`` equal-weight particles by a systematic
   (low-variance) sweep with stride ``w_total/n`` and half-stride offset
   (``:1004-1053``); copies that find no free slot fold their weight back into
   the source so mass is conserved (``:1037-1041``),
 * all surviving flags reset to plain valid (``:968``).
 
-TPU formulation: the reference's in-voxel sequential walk becomes a cumsum
-over the slot axis -- the number of resampling grid points
-``w_stride*(k+1/2)`` falling in a particle's cumulative-weight span is a
-closed-form difference, so survivors, copy counts and fold-backs are all
-elementwise.  Copy placement reuses the free-slot ranking trick from
-:mod:`.insert`, entirely inside each voxel.  The future-status scatter splits
-the population: exactly-static particles (the overwhelming majority, thanks
-to the reference's own zero-velocity birth policy) contribute their weight to
-their own voxel at every horizon with no scatter at all; only moving
-particles are compacted and scattered.
-
-Parallel deviation (documented): free slots freed by *later* dropped
-particles are visible to earlier particles' copies (the reference's forward
-re-scan makes them visible only to later sources); differs only when a voxel
-is nearly full, mass is conserved either way.
+TPU formulation (see docs/DESIGN.md section 5): the in-voxel serial walk
+becomes a cumsum over the slot axis; survivor/copy counts are closed-form
+differences of ``ceil((cum - wa/2)/wa)``; copy placement and payload sourcing
+are slots-deep select sweeps (dense VPU passes -- measured faster than
+XLA's serialized gathers/scatters at this scale).  The future-status scatter
+splits the population: exactly-static particles (the overwhelming majority
+under the reference's own zero-velocity birth policy) contribute to their own
+voxel at every horizon with no scatter; moving old particles are compacted
+once and scattered for all horizons in a single combined scatter-add.
 """
 
 from __future__ import annotations
@@ -41,13 +35,14 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask
+from .common import compact_mask, select_rows
 from ..state import FLAG_VALID
 
 
 def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, future_in):
     """Returns ``(new_particles, weight_sum[V], vel_avg[V,3], future[V,T], stats)``."""
     S, V = particles.flags.shape
+    T = cfg.n_horizons
 
     # ---- weight cull (dsp_dynamic.h:941-942) ---------------------------
     flags = jnp.where(
@@ -80,23 +75,33 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
     future = future_in + static_contrib[:, None]
 
     idx, sel, n_moving, n_overflow = compact_mask(moving, cfg.mover_capacity)
-    m_pos = jnp.stack(
-        [particles.px.ravel()[idx], particles.py.ravel()[idx], particles.pz.ravel()[idx]],
-        axis=-1,
-    )
-    m_vel = jnp.stack(
-        [particles.vx.ravel()[idx], particles.vy.ravel()[idx], particles.vz.ravel()[idx]],
-        axis=-1,
-    )
+    m_px = particles.px.ravel()[idx]
+    m_py = particles.py.ravel()[idx]
+    m_pz = particles.pz.ravel()[idx]
+    m_vx = particles.vx.ravel()[idx]
+    m_vy = particles.vy.ravel()[idx]
+    m_vz = particles.vz.ravel()[idx]
     m_w = jnp.where(sel, w.ravel()[idx], 0.0)
-    for t_i, tau in enumerate(cfg.prediction_horizons):
-        fpos = m_pos + m_vel * tau
-        wv = geometry.world_voxel(fpos, cfg)
-        ok = sel & geometry.in_window(wv, origin, cfg)
-        tgt = jnp.where(ok, geometry.storage_index(wv, cfg), V)
-        future = future.at[:, t_i].add(
-            jnp.zeros((V + 1,), jnp.float32).at[tgt].add(m_w, mode="drop")[:V]
-        )
+
+    taus = jnp.asarray(cfg.prediction_horizons, jnp.float32)  # [T]
+    fx = m_px[None, :] + m_vx[None, :] * taus[:, None]  # [T, D]
+    fy = m_py[None, :] + m_vy[None, :] * taus[:, None]
+    fz = m_pz[None, :] + m_vz[None, :] * taus[:, None]
+    wx, wy, wz = geometry.world_voxel_planar(fx, fy, fz, cfg)
+    ok = sel[None, :] & geometry.in_window_planar(wx, wy, wz, origin, cfg)
+    cell = geometry.storage_index_planar(wx, wy, wz, cfg)  # [T, D]
+    # one combined scatter-add into the flattened [V, T] grid
+    tgt = jnp.where(
+        ok,
+        cell * T + jnp.arange(T, dtype=jnp.int32)[:, None],
+        V * T,
+    )
+    future = (
+        future.ravel()
+        .at[tgt.ravel()]
+        .add(jnp.broadcast_to(m_w[None, :], tgt.shape).ravel(), mode="drop")
+        .reshape(V, T)
+    )
 
     # ---- systematic resampling (dsp_dynamic.h:986-1055) ----------------
     count = jnp.sum(valid, axis=0)  # [V]
@@ -118,25 +123,22 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
 
     # Free-slot pool: dead slots plus freshly dropped ones.
     is_free = (~valid) | dropped
-    free_rank = jnp.cumsum(is_free, axis=0) - is_free  # exclusive, [S, V]
+    free_rank = jnp.cumsum(is_free, axis=0, dtype=jnp.int32) - is_free
     total_free = jnp.sum(is_free, axis=0)  # [V]
 
-    # Copy placement: free slot with rank r sources the particle j such that
-    # demand_end[j-1] <= r < demand_end[j].
+    # Copy placement: free slot with rank r sources the particle j with
+    # demand_end[j-1] <= r < demand_end[j]; computed as a slots-deep sweep.
     demand_end = jnp.cumsum(extra, axis=0)  # inclusive, [S, V]
     total_extra = demand_end[-1]  # [V]
-    src_idx = jnp.sum(
-        (demand_end[:, None, :] <= free_rank[None, :, :]).astype(jnp.int32), axis=0
-    )  # [S, V]: for each slot (as free slot), its source slot index
+    src_idx = jnp.zeros((S, V), jnp.int32)
+    for j in range(S):
+        src_idx = src_idx + (demand_end[j][None, :] <= free_rank)
     filled = is_free & (free_rank < jnp.minimum(total_extra, total_free)) & do_rs
 
     # Fold-back for copies that found no space (dsp_dynamic.h:1037-1041).
     demand_start = demand_end - extra
     placed = jnp.clip(total_free[None, :] - demand_start, 0, extra)
     unplaced = (extra - placed).astype(jnp.float32)
-
-    def from_src(field):
-        return jnp.take_along_axis(field, jnp.minimum(src_idx, S - 1), axis=0)
 
     new_w = jnp.where(kept, wa * (1.0 + unplaced), w)
     new_w = jnp.where(filled, wa, new_w)
@@ -145,7 +147,7 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
     new_flags = jnp.where(filled, FLAG_VALID, new_flags)
 
     def place(field):
-        return jnp.where(filled, from_src(field), field)
+        return jnp.where(filled, select_rows(field, src_idx, S), field)
 
     new_particles = dataclasses.replace(
         particles,

@@ -10,12 +10,14 @@ by their own velocity.  Under the static model the positions are untouched
 entirely -- the reference's static prediction (``dsp_static.h:640-646``) is
 pure ego-compensation.
 
-Behavioral quirk preserved: a particle receives velocity noise only when
-``|vx*vy*vz| >= 1e-6`` (``dsp_dynamic.h:653-659``).  This exempts any
-particle with a zero component -- in particular, with
-``limit_motion_to_xy_plane`` every particle has vz == 0 after its first
-prediction, so in-map velocity diffusion effectively happens only at birth.
-Kept verbatim: it is what keeps the reference's static structure crisp.
+Behavioral quirk preserved *exactly*: a particle receives velocity noise only
+when ``|vx*vy*vz| >= 1e-6`` (``dsp_dynamic.h:653-659``).  Under
+``limit_motion_to_xy_plane`` every particle's vz is pinned to 0 from its
+first prediction (or birth, ``dsp_dynamic.h:905-907``), so the product is
+identically zero and **no particle ever receives in-map velocity noise** --
+diffusion happens only through the estimator-birth noise term.  We exploit
+that statically: for xy-limited configs the noise draw is elided entirely,
+which is bit-equivalent to the reference's behavior, not an approximation.
 """
 
 from __future__ import annotations
@@ -36,19 +38,21 @@ def propagate(particles, cfg: MapConfig, key: jax.Array, dt: jnp.ndarray):
         zeros = jnp.zeros_like(particles.vx)
         return dataclasses.replace(particles, vx=zeros, vy=zeros, vz=zeros)
 
-    noise = (
-        jax.random.normal(key, (3,) + particles.vx.shape, jnp.float32)
-        * cfg.velocity_noise_std
-    )
-    keep_still = (
-        jnp.abs(particles.vx * particles.vy * particles.vz) < 1e-6
-    )  # dsp_dynamic.h:653
-    jitter = valid & ~keep_still
-    vx = jnp.where(jitter, particles.vx + noise[0], particles.vx)
-    vy = jnp.where(jitter, particles.vy + noise[1], particles.vy)
-    vz = jnp.where(jitter, particles.vz + noise[2], particles.vz)
-    if cfg.limit_motion_to_xy_plane:
-        vz = jnp.where(valid, 0.0, vz)  # dsp_dynamic.h:661-663
+    vx, vy, vz = particles.vx, particles.vy, particles.vz
+    if not cfg.limit_motion_to_xy_plane:
+        noise = (
+            jax.random.normal(key, (3,) + vx.shape, jnp.float32)
+            * cfg.velocity_noise_std
+        )
+        keep_still = jnp.abs(vx * vy * vz) < 1e-6  # dsp_dynamic.h:653
+        jitter = valid & ~keep_still
+        vx = jnp.where(jitter, vx + noise[0], vx)
+        vy = jnp.where(jitter, vy + noise[1], vy)
+        vz = jnp.where(jitter, vz + noise[2], vz)
+    else:
+        # vz==0 for every particle -> the noise branch is statically dead
+        # (see module docstring); just (re)pin vz.
+        vz = jnp.where(valid, 0.0, vz)
 
     px = jnp.where(valid, particles.px + vx * dt, particles.px)
     py = jnp.where(valid, particles.py + vy * dt, particles.py)

@@ -3,12 +3,13 @@
 686-690``) without the serial relocation pass.
 
 In the world-frame toroidal layout a particle's storage cell only changes when
-its *own* motion crosses a voxel face (bounded by v_max * dt per frame), so the
-mover set is small.  Pipeline: (1) kill particles that left the map window
+its *own* motion crosses a voxel face (bounded by v_max * dt per frame), so
+the mover set is small.  Pipeline: (1) kill particles that left the map window
 (``dsp_dynamic.h:686-690``); (2) identify movers (storage cell changed);
-(3) compact movers into a fixed-capacity buffer; (4) vacate their source
-slots; (5) re-insert them with the shared capacity-limited insertion, which
-reproduces the voxel-full vanish path (``dsp_dynamic.h:1227-1229``).
+(3) compact + destination-sort the movers in ONE stable sort keyed by
+(mover?, destination); (4) vacate their source slots; (5) re-insert with the
+shared capacity-limited insertion, which reproduces the voxel-full vanish path
+(``dsp_dynamic.h:1227-1229``).
 
 Parallel-semantics deviation (documented): the reference relocates particles
 one at a time in storage order, so a mover can occupy a slot another particle
@@ -27,58 +28,60 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask
-from .insert import insert_particles
+from .common import compact_and_group
+from .insert import insert_sorted
 
 
 def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t):
     """Re-home particles whose world voxel changed; kill window leavers.
 
-    Returns ``(new_particles, stats)`` with stats = dict of scalar counters
-    (analogues of the reference's moves_out / voxel_full counters,
-    dsp_dynamic.h:629-699).
+    Returns ``(new_particles, stats)`` with scalar counters (analogues of the
+    reference's moves_out / voxel_full counters, dsp_dynamic.h:629-699).
     """
     S, V = particles.flags.shape
     valid = particles.valid
 
-    pos = particles.pos()  # [S, V, 3]
-    wv = geometry.world_voxel(pos, cfg)
-    inside = geometry.in_window(wv, origin, cfg) & valid
+    wx, wy, wz = geometry.world_voxel_planar(
+        particles.px, particles.py, particles.pz, cfg
+    )
+    inside = geometry.in_window_planar(wx, wy, wz, origin, cfg) & valid
     moved_out = valid & ~inside
 
-    new_cell = geometry.storage_index(wv, cfg)  # [S, V]
+    new_cell = geometry.storage_index_planar(wx, wy, wz, cfg)  # [S, V]
     current_cell = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (S, V))
     mover = inside & (new_cell != current_cell)
 
-    idx, sel_valid, n_movers, n_overflow = compact_mask(mover, cfg.mover_capacity)
+    idx, cell, ranks, sel_valid, n_movers = compact_and_group(
+        mover, new_cell, cfg.mover_capacity, V
+    )
 
     def gather(field):
         return field.ravel()[idx]
 
-    m_pos = jnp.stack([gather(particles.px), gather(particles.py), gather(particles.pz)], -1)
-    m_vel = jnp.stack([gather(particles.vx), gather(particles.vy), gather(particles.vz)], -1)
-    m_w = gather(particles.weight)
+    payload = jnp.stack(
+        [
+            gather(particles.px), gather(particles.py), gather(particles.pz),
+            gather(particles.vx), gather(particles.vy), gather(particles.vz),
+            gather(particles.weight),
+        ],
+        axis=-1,
+    )
 
     # Vacate: movers and window leavers leave their source slots.
     flags = jnp.where(mover | moved_out, jnp.uint8(0), particles.flags)
     vacated = dataclasses.replace(particles, flags=flags)
+    n_before = jnp.sum(vacated.valid)
 
-    new_particles = insert_particles(
-        vacated,
-        cfg,
-        pos=m_pos,
-        vel=m_vel,
-        weight=m_w,
-        valid=sel_valid,
-        origin=origin,
-        flag=jnp.uint8(1),
-        t=t,
+    new_particles = insert_sorted(
+        vacated, cfg,
+        cell=cell, ranks=ranks, payload=payload, valid=sel_valid,
+        flag=jnp.uint8(1), t=t,
     )
+    n_kept = jnp.minimum(n_movers, cfg.mover_capacity)
     stats = {
         "moved_out": jnp.sum(moved_out),
-        "movers": n_movers,
-        "mover_overflow_killed": n_overflow,
-        "voxel_full_killed": n_movers - jnp.sum(new_particles.valid)
-        + jnp.sum(vacated.valid),
+        "movers": n_kept,
+        "mover_overflow_killed": n_movers - n_kept,
+        "voxel_full_killed": n_kept - (jnp.sum(new_particles.valid) - n_before),
     }
     return new_particles, stats

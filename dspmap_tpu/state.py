@@ -140,12 +140,14 @@ class MapState:
 
 
 def init_estimator_state(cfg: MapConfig) -> EstimatorState:
+    import numpy as np
+
     c = cfg.max_clusters
     return EstimatorState(
-        prev_centers=jnp.zeros((c, 3), jnp.float32),
-        prev_point_num=jnp.zeros((c,), jnp.int32),
-        prev_intensity=jnp.zeros((c,), jnp.float32),
-        prev_valid=jnp.zeros((c,), bool),
+        prev_centers=np.zeros((c, 3), np.float32),
+        prev_point_num=np.zeros((c,), np.int32),
+        prev_intensity=np.zeros((c,), np.float32),
+        prev_valid=np.zeros((c,), bool),
     )
 
 
@@ -162,30 +164,39 @@ def init_state(
     components in [-1, 1] (addRandomParticles, dsp_dynamic.h:594-624); the
     reference default constructor adds zero (dsp_dynamic.h:145,172).
     """
+    import numpy as np
+
     s, v = cfg.slots_per_voxel, cfg.voxel_num
-    sensor = jnp.asarray(sensor_pos, jnp.float32)
-    zeros = lambda: jnp.zeros((s, v), jnp.float32)
+    # Build on host with numpy (a fresh state is all zeros) and transfer in
+    # one piece -- per-op eager dispatch is expensive on remote backends.
+    sensor_np = np.asarray(sensor_pos, np.float32)
+    half = np.asarray(cfg.half_extent, np.float32)
+    origin_np = np.floor(
+        (sensor_np - half) / cfg.voxel_resolution + 0.5
+    ).astype(np.int32)
+    zeros = lambda: np.zeros((s, v), np.float32)
     particles = Particles(
-        flags=jnp.zeros((s, v), jnp.uint8),
+        flags=np.zeros((s, v), np.uint8),
         px=zeros(), py=zeros(), pz=zeros(),
         vx=zeros(), vy=zeros(), vz=zeros(),
         weight=zeros(), t=zeros(),
     )
     state = MapState(
         particles=particles,
-        weight_sum=jnp.zeros((v,), jnp.float32),
-        vel_avg=jnp.zeros((v, 3), jnp.float32),
-        future=jnp.zeros((v, cfg.n_horizons), jnp.float32),
+        weight_sum=np.zeros((v,), np.float32),
+        vel_avg=np.zeros((v, 3), np.float32),
+        future=np.zeros((v, cfg.n_horizons), np.float32),
         rng=key,
-        sensor_pos=sensor,
-        last_sensor_pos=sensor,
-        origin=geometry.window_origin(sensor, cfg),
-        update_time=jnp.float32(0.0),
-        last_timestamp=jnp.float32(0.0),
-        update_counter=jnp.int32(0),
-        initialized=jnp.asarray(False),
+        sensor_pos=sensor_np,
+        last_sensor_pos=sensor_np,
+        origin=origin_np,
+        update_time=np.float32(0.0),
+        last_timestamp=np.float32(0.0),
+        update_counter=np.int32(0),
+        initialized=np.asarray(False),
         estimator=init_estimator_state(cfg),
     )
+    state = jax.device_put(state)
     if init_particle_num > 0:
         state = add_random_particles(state, cfg, init_particle_num, init_weight)
     return state
