@@ -116,14 +116,24 @@ class MapConfig:
     #: derives the reference formula SAFE_PARTICLE_NUM/PYRAMID_NUM*2
     #: (dsp_dynamic.h:64-66) rounded up to a multiple of 8.
     pyramid_slot_capacity: int | None = None
-    #: max tracked dynamic clusters in the velocity estimator.
-    max_clusters: int = 64
-    #: capacity of the per-frame cross-voxel mover buffer (TPU-side budget;
-    #: the reference has no analogue because it relocates serially).
-    mover_capacity: int = 1 << 17
+    #: max tracked dynamic clusters in the velocity estimator.  The reference
+    #: has no cap (std::vector); 16 is generous for its street scenes and the
+    #: exact assignment solve is O(n^2) sequential steps on TPU, so keep this
+    #: tight.
+    max_clusters: int = 16
+    #: capacity of the per-frame cross-voxel mover / moving-particle buffers
+    #: (TPU-side budget; the reference has no analogue because it relocates
+    #: serially).  Only self-moving particles enter these buffers -- a few
+    #: thousand in the reference's scenes; overflow is killed and counted.
+    mover_capacity: int = 1 << 15
     #: label-propagation sweeps for Euclidean clustering (with pointer
     #: jumping; 2^n reach per sweep covers any practical cluster diameter).
     cluster_propagation_iters: int = 16
+    #: global capacity of the in-FOV particle buffer; ``None`` derives
+    #: ``min(n_pyramids * pyramid_slots, 2^17)``.  Overflow particles keep
+    #: their weight but skip the measurement update that frame (the
+    #: reference's only cap is the per-pyramid slot list).
+    fov_capacity: int | None = None
 
     # ---------------------------------------------------------------- derived
     @property
@@ -181,6 +191,12 @@ class MapConfig:
         global_pyramids = 360 * 180 // (self.angle_resolution_deg**2)
         cap = safe_particle_num // global_pyramids * 2
         return _round_up(max(cap, 8), 8)
+
+    @property
+    def fov_buffer_capacity(self) -> int:
+        if self.fov_capacity is not None:
+            return self.fov_capacity
+        return min(self.n_pyramids * self.pyramid_slots, 1 << 17)
 
     @property
     def neighbor_cells(self) -> int:

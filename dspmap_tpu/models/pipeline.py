@@ -169,6 +169,121 @@ def make_step(cfg: MapConfig):
     return step
 
 
+def make_multisensor_step(cfg: MapConfig, n_sensors: int):
+    """Multi-sensor fusion: one map updated by ``n_sensors`` depth cameras.
+
+    No reference counterpart (the reference is strictly single-sensor,
+    SURVEY.md section 2.6); semantics follow the SMC-PHD composition rule:
+    prediction/rebin once per frame, then the measurement stage (FOV
+    registration -> update -> birth) applied *sequentially* per sensor via
+    ``lax.scan`` -- each sensor updates the weights the previous one
+    produced, which is the standard sequential multi-sensor PHD
+    approximation -- then one occupancy/resample pass.
+
+    ``step(state, frames)`` takes a Frame pytree whose leaves carry a leading
+    ``[n_sensors]`` axis; all sensors share the frame's timestamp (taken from
+    sensor 0).  Admission control applies to sensor 0's pose.
+    """
+    cfg.validate()
+
+    def step(state: MapState, frames: Frame):
+        q_ok = geometry.quaternion_is_valid(frames.quat[0])
+        last_pos = jnp.where(
+            state.initialized, state.last_sensor_pos, frames.sensor_pos[0]
+        )
+        last_t = jnp.where(
+            state.initialized, state.last_timestamp, frames.timestamp[0]
+        )
+        delta_p = frames.sensor_pos[0] - last_pos
+        dt = frames.timestamp[0] - last_t
+        jump_ok = jnp.all(jnp.abs(delta_p) <= 10.0) & (dt >= 0.0) & (dt <= 10.0)
+        accepted = q_ok & jump_ok
+
+        def run(state: MapState):
+            origin = geometry.window_origin(frames.sensor_pos[0], cfg)
+            keys = jax.random.split(state.rng, 4)
+            update_time = state.update_time + dt
+
+            particles = propagate(state.particles, cfg, keys[0], dt)
+            particles, _ = rebin(particles, cfg, origin, update_time)
+
+            def sensor_stage(carry, inp):
+                particles, key = carry
+                frame, est_state = inp
+                key, k_est, k_fov, k_birth = jax.random.split(key, 4)
+                point_valid = (
+                    jnp.arange(frame.points.shape[0], dtype=jnp.int32)
+                    < frame.n_points
+                )
+                obs = project_points(
+                    frame.points, point_valid, frame.sensor_pos, frame.quat, cfg
+                )
+                expected_newborn = (
+                    cfg.newborn_particle_weight
+                    * obs.n_valid_points.astype(jnp.float32)
+                    * cfg.newborn_particles_per_point
+                )
+                est_out, est_state = estimate_velocities(
+                    obs.cloud_world, obs.cloud_valid, est_state, cfg, dt, k_est
+                )
+                particles, fovbin, _ = register_fov(
+                    particles, cfg, frame.sensor_pos, frame.quat, k_fov
+                )
+                particles, c_grid, _ = measurement_update(
+                    particles, fovbin, obs, cfg, expected_newborn, update_time
+                )
+                particles, _ = particle_birth(
+                    particles, cfg, k_birth,
+                    est_points=est_out.points, est_vel=est_out.vel,
+                    est_dynamic=est_out.dynamic, est_valid=est_out.valid,
+                    c_grid=c_grid, obs_mask=obs.mask,
+                    origin=origin, update_time=update_time,
+                )
+                return (particles, key), est_state
+
+            # per-sensor estimator tracks: state.estimator leaves carry a
+            # leading [n_sensors] axis (see init_multisensor_state)
+            (particles, _), est_state = jax.lax.scan(
+                sensor_stage,
+                (particles, keys[1]),
+                (frames, state.estimator),
+            )
+
+            particles, weight_sum, vel_avg, future, occ_stats = (
+                occupancy_and_resample(particles, cfg, origin, state.future)
+            )
+            new_state = dataclasses.replace(
+                state,
+                particles=particles,
+                weight_sum=weight_sum,
+                vel_avg=vel_avg,
+                future=future,
+                rng=keys[3],
+                sensor_pos=frames.sensor_pos[0],
+                last_sensor_pos=frames.sensor_pos[0],
+                origin=origin,
+                update_time=update_time,
+                last_timestamp=frames.timestamp[0],
+                update_counter=state.update_counter + 1,
+                initialized=jnp.asarray(True),
+                estimator=est_state,
+            )
+            return new_state, occ_stats
+
+        def skip(state: MapState):
+            zero = jax.tree.map(
+                lambda x: jnp.zeros_like(x), jax.eval_shape(run, state)[1]
+            )
+            return state, zero
+
+        new_state, metrics = jax.lax.cond(accepted, run, skip, state)
+        return new_state, StepOutput(
+            accepted=accepted, weight_sum=new_state.weight_sum, metrics=metrics
+        )
+
+    return step
+
+
 def get_occupancy_map(state: MapState, cfg: MapConfig, threshold: float = 0.7):
     """Occupancy + future-status readout (``getOccupancyMapWithFutureStatus``,
     dsp_dynamic.h:405-426).
@@ -194,3 +309,16 @@ def clear_future_prediction(state: MapState) -> MapState:
     """``clearOccupancyMapPrediction`` (dsp_dynamic.h:429-438) for callers
     that skip the readout."""
     return dataclasses.replace(state, future=jnp.zeros_like(state.future))
+
+
+def init_multisensor_state(cfg: MapConfig, n_sensors: int, key, sensor_pos=(0.0, 0.0, 0.0)):
+    """A MapState whose estimator tracks have a leading sensor axis, for
+    :func:`make_multisensor_step`."""
+    from ..state import init_state
+
+    state = init_state(cfg, key, sensor_pos)
+    est = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_sensors,) + x.shape).copy(),
+        state.estimator,
+    )
+    return dataclasses.replace(state, estimator=est)

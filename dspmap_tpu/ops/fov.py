@@ -59,7 +59,8 @@ def register_fov(
     """
     S, V = particles.flags.shape
     n_pyr, s_pyr = cfg.n_pyramids, cfg.pyramid_slots
-    f_cap = n_pyr * s_pyr
+    f_cap = cfg.fov_buffer_capacity
+    grid_cap = n_pyr * s_pyr
 
     # Sensor-frame coordinates of every slot, on planes.
     Rm = geometry.rotation_matrix(geometry.quaternion_conjugate(quat))
@@ -103,7 +104,7 @@ def register_fov(
     new_particles = dataclasses.replace(particles, flags=flags, vx=vx, vy=vy, vz=vz)
 
     # Dense binned tensors: all scatters hit unique (pyramid, rank) cells.
-    cell = jnp.where(keep, cand_pyr * s_pyr + ranks, f_cap)
+    cell = jnp.where(keep, cand_pyr * s_pyr + ranks, grid_cap)
     px = particles.px.ravel()[idx]
     py = particles.py.ravel()[idx]
     pz = particles.pz.ravel()[idx]
@@ -116,9 +117,9 @@ def register_fov(
 
     def scat(vals, fill=0.0):
         return (
-            jnp.full((f_cap + 1,) + vals.shape[1:], fill, vals.dtype)
+            jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
             .at[cell]
-            .set(vals, mode="drop", unique_indices=True)[:f_cap]
+            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
         )
 
     bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, s_pyr, 3)
@@ -126,9 +127,9 @@ def register_fov(
     brng = scat(rng_c).reshape(n_pyr, s_pyr)
     bmask = scat(keep).reshape(n_pyr, s_pyr)
     bslot = (
-        jnp.full((f_cap + 1,), S * V, jnp.int32)
+        jnp.full((grid_cap + 1,), S * V, jnp.int32)
         .at[cell]
-        .set(idx, mode="drop", unique_indices=True)[:f_cap]
+        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
         .reshape(n_pyr, s_pyr)
     )
 

@@ -7,13 +7,12 @@ Semantics preserved: each voxel has a fixed slot capacity; candidates fill the
 first free slots in arrival order; when a voxel is full the surplus candidates
 silently vanish (drop-on-full, ``dsp_dynamic.h:1198-1200,1227-1229``).
 
-Mechanism (tuned to measured TPU costs): candidates arrive destination-sorted
-with within-destination arrival ranks (one stable sort); ranks that fit the
-destination's free-slot count scatter their payload into a staging plane with
-*unique* indices (vectorized scatter, ~0.3 ms at 131k entries); the staging
-plane merges into the live pool with a slots-deep select sweep keyed by each
-empty slot's rank among empties -- dense VPU passes instead of the 3.1M-entry
-gathers XLA would emit for ``take_along_axis``.
+Mechanism (third iteration, tuned to measured TPU costs): a batched tiny sort
+along the slot axis yields, per voxel, its empty slot ids in order; candidate
+rank r in voxel v maps straight to final slot ``empty_order[r, v]``, so the
+payload scatters *directly* into the pool with unique indices (vectorized,
+~0.3 ms per field at 131k candidates) -- no staging plane, no select sweep,
+no multi-million-element gathers.
 """
 
 from __future__ import annotations
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import sort_by_destination, select_rows
+from .common import sort_by_destination
 
 
 def insert_sorted(
@@ -40,48 +39,60 @@ def insert_sorted(
 ):
     """Insert destination-sorted candidates.  Returns the new pool."""
     S, V = particles.flags.shape
-    M = cell.shape[0]
 
-    is_empty = particles.flags == 0  # [S, V]
-    empty_count = jnp.sum(is_empty, axis=0).astype(jnp.int32)  # [V]
+    is_occupied = particles.flags != 0  # [S, V]
+    empty_count = S - jnp.sum(is_occupied, axis=0).astype(jnp.int32)  # [V]
 
     in_bounds = valid & (cell < V)
-    cap_at_dest = jnp.where(in_bounds, empty_count[jnp.clip(cell, 0, V - 1)], 0)
-    keep = in_bounds & (ranks < cap_at_dest)
+    safe_cell = jnp.clip(cell, 0, V - 1)
+    keep = in_bounds & (ranks < empty_count[safe_cell])
 
-    # Stage payloads at (free-slot rank, voxel): indices unique by
-    # construction -> vectorized scatter.
-    stage_idx = jnp.where(keep, ranks * V + cell, S * V)
-    staged = jnp.concatenate(
-        [payload, keep[:, None].astype(jnp.float32)], axis=-1
-    )  # [M, 8]; channel 7 marks occupancy of the staging cell
-    staging = (
-        jnp.zeros((S * V + 1, 8), jnp.float32)
-        .at[stage_idx]
-        .set(staged, mode="drop", unique_indices=True)[: S * V]
-        .reshape(S, V, 8)
+    # Per-voxel empty slots in slot order: stable tiny sort along the slot
+    # axis (occupied slots sink); empty_order[r, v] = id of the r-th empty.
+    slot_ids = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None], (S, V)
     )
+    empty_order = jnp.sort(
+        jnp.where(is_occupied, slot_ids + S, slot_ids), axis=0
+    ) % S  # occupied entries pushed past S, then wrapped (masked by `keep`)
 
-    # Merge: each empty slot takes the staging row keyed by its rank among
-    # the voxel's empty slots (select sweep over the small slot axis).
-    empty_rank = jnp.cumsum(is_empty, axis=0, dtype=jnp.int32) - is_empty
-    take = select_rows(staging, empty_rank, S)  # [S, V, 8]
-    filled = is_empty & (take[:, :, 7] > 0.5)
+    # Final flat position of each kept candidate.
+    slot = empty_order[
+        jnp.minimum(ranks, S - 1), safe_cell
+    ]  # [M] gather (small)
+    flat = jnp.where(keep, slot * V + safe_cell, S * V)
 
-    def mix(old, c):
-        return jnp.where(filled, take[:, :, c], old)
+    def scat(field, col):
+        return (
+            field.ravel()
+            .at[flat]
+            .set(payload[:, col], mode="drop", unique_indices=True)
+            .reshape(S, V)
+        )
 
+    flags = (
+        particles.flags.ravel()
+        .at[flat]
+        .set(jnp.uint8(flag), mode="drop", unique_indices=True)
+        .reshape(S, V)
+    )
+    tt = (
+        particles.t.ravel()
+        .at[flat]
+        .set(jnp.float32(t), mode="drop", unique_indices=True)
+        .reshape(S, V)
+    )
     return dataclasses.replace(
         particles,
-        flags=jnp.where(filled, jnp.uint8(flag), particles.flags),
-        px=mix(particles.px, 0),
-        py=mix(particles.py, 1),
-        pz=mix(particles.pz, 2),
-        vx=mix(particles.vx, 3),
-        vy=mix(particles.vy, 4),
-        vz=mix(particles.vz, 5),
-        weight=mix(particles.weight, 6),
-        t=jnp.where(filled, jnp.float32(t), particles.t),
+        flags=flags,
+        px=scat(particles.px, 0),
+        py=scat(particles.py, 1),
+        pz=scat(particles.pz, 2),
+        vx=scat(particles.vx, 3),
+        vy=scat(particles.vy, 4),
+        vz=scat(particles.vz, 5),
+        weight=scat(particles.weight, 6),
+        t=tt,
     )
 
 
