@@ -42,7 +42,10 @@ from .models.pipeline import (  # noqa: F401
     Frame,
     StepOutput,
     make_step,
+    make_multisensor_step,
+    init_multisensor_state,
     get_occupancy_map,
+    read_occupancy,
     clear_future_prediction,
 )
 

@@ -6,7 +6,15 @@ The reference selects among its three single-header variants at compile time
 pipeline (`pipeline.make_step`).
 """
 
-from .pipeline import Frame, StepOutput, make_step, get_occupancy_map  # noqa: F401
+from .pipeline import (  # noqa: F401
+    Frame,
+    StepOutput,
+    make_step,
+    make_multisensor_step,
+    init_multisensor_state,
+    get_occupancy_map,
+    read_occupancy,
+)
 from ..config import (  # noqa: F401
     dsp_dynamic,
     dsp_dynamic_multi_neighbors,

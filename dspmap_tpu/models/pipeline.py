@@ -293,8 +293,18 @@ def get_occupancy_map(state: MapState, cfg: MapConfig, threshold: float = 0.7):
     corner); ``centers`` are world-frame voxel centers.  The readout clears
     the future accumulators exactly like the reference (the documented
     destructive-readout contract, dsp_dynamic.h:420-424,429-438) -- made pure
-    by returning the cleared state.
+    by returning the cleared state.  For the ego-ordered weights themselves
+    use :func:`read_occupancy` which also returns them.
     """
+    occupied, centers, future, weight, new_state = read_occupancy(
+        state, cfg, threshold
+    )
+    return occupied, centers, future, new_state
+
+
+def read_occupancy(state: MapState, cfg: MapConfig, threshold: float = 0.7):
+    """Like :func:`get_occupancy_map` but additionally returns the ego-ordered
+    per-voxel weight sums: ``(occupied, centers, future, weight, new_state)``."""
     gather = geometry.ego_grid_gather_indices(state.origin, cfg)
     weight = state.weight_sum[gather]
     occupied = weight > threshold
@@ -302,7 +312,7 @@ def get_occupancy_map(state: MapState, cfg: MapConfig, threshold: float = 0.7):
     centers = geometry.voxel_center(wv, cfg)
     future = state.future[gather]
     new_state = dataclasses.replace(state, future=jnp.zeros_like(state.future))
-    return occupied, centers, future, new_state
+    return occupied, centers, future, weight, new_state
 
 
 def clear_future_prediction(state: MapState) -> MapState:
