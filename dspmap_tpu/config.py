@@ -125,14 +125,16 @@ class MapConfig:
     #: (TPU-side budget; the reference has no analogue because it relocates
     #: serially).  Only self-moving particles enter these buffers -- a few
     #: thousand in the reference's scenes; overflow is killed and counted.
-    mover_capacity: int = 1 << 15
+    mover_capacity: int = 1 << 14
     #: label-propagation sweeps for Euclidean clustering (with pointer
     #: jumping; 2^n reach per sweep covers any practical cluster diameter).
-    cluster_propagation_iters: int = 16
+    cluster_propagation_iters: int = 12
     #: global capacity of the in-FOV particle buffer; ``None`` derives
-    #: ``min(n_pyramids * pyramid_slots, 2^17)``.  Overflow particles keep
+    #: ``min(n_pyramids * pyramid_slots, 2^16)``.  Overflow particles keep
     #: their weight but skip the measurement update that frame (the
-    #: reference's only cap is the per-pyramid slot list).
+    #: reference's only cap is the per-pyramid slot list).  Every gather and
+    #: scatter in the FOV path scales with this capacity, not the live
+    #: population -- keep it near the realistic in-FOV peak.
     fov_capacity: int | None = None
 
     # ---------------------------------------------------------------- derived
@@ -196,7 +198,7 @@ class MapConfig:
     def fov_buffer_capacity(self) -> int:
         if self.fov_capacity is not None:
             return self.fov_capacity
-        return min(self.n_pyramids * self.pyramid_slots, 1 << 17)
+        return min(self.n_pyramids * self.pyramid_slots, 1 << 16)
 
     @property
     def neighbor_cells(self) -> int:

@@ -25,7 +25,7 @@ def euclidean_cluster(
     valid: jnp.ndarray,  # [P] bool
     tolerance: float,
     iters: int = 16,
-    row_chunk: int = 512,
+    row_chunk: int = 1024,
 ) -> jnp.ndarray:
     """Connected components under ``dist <= tolerance``.
 

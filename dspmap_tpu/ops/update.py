@@ -88,7 +88,7 @@ def scatter_neighbor_sum(contrib: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     return total.reshape(H * W, K)
 
 
-def _chunk(n_pyr: int, s_pyr: int, ck: int, budget_floats: int = 26_000_000) -> int:
+def _chunk(n_pyr: int, s_pyr: int, ck: int, budget_floats: int = 52_000_000) -> int:
     """Largest divisor of n_pyr whose pair tile fits the float budget."""
     target = max(1, budget_floats // max(s_pyr * ck, 1))
     best = 1
