@@ -129,6 +129,13 @@ class MapConfig:
     #: label-propagation sweeps for Euclidean clustering (with pointer
     #: jumping; 2^n reach per sweep covers any practical cluster diameter).
     cluster_propagation_iters: int = 12
+    #: run the fused per-slot sweep (prediction advance + rebin masks + FOV
+    #: geometry) as a Pallas TPU kernel instead of the identical XLA
+    #: implementation (ops/sweep.py).  Measured at parity (1.71 vs 1.78 ms,
+    #: docs/PERF.md) because XLA already fuses the sweep well; default off
+    #: since the remote-compile path for Pallas modules is less reliable on
+    #: this environment's tunneled chip.
+    use_pallas_sweep: bool = False
     #: global capacity of the in-FOV particle buffer; ``None`` derives
     #: ``min(n_pyramids * pyramid_slots, 2^16)``.  Overflow particles keep
     #: their weight but skip the measurement update that frame (the

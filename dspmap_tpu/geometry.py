@@ -270,3 +270,24 @@ def storage_index_planar(wx, wy, wz, cfg: MapConfig):
     return (
         jnp.mod(wz, cfg.nz) * cfg.ny + jnp.mod(wy, cfg.ny)
     ) * cfg.nx + jnp.mod(wx, cfg.nx)
+
+
+def storage_index_from_rel(rx, ry, rz, origin, cfg: MapConfig):
+    """Storage cell from window-relative voxel coords ``r* = w* - origin``
+    (valid only where 0 <= r* < dims).
+
+    Avoids per-element integer division: ``mod(w, n) = mod(o, n) + r`` folded
+    back once, with ``mod(o, n)`` a scalar.  Integer div/mod by the
+    non-power-of-two grid dims costs tens of VPU cycles per element; this is
+    three adds and selects.
+    """
+    sox = jnp.mod(origin[0], cfg.nx)
+    soy = jnp.mod(origin[1], cfg.ny)
+    soz = jnp.mod(origin[2], cfg.nz)
+    cx = sox + jnp.clip(rx, 0, cfg.nx - 1)
+    cy = soy + jnp.clip(ry, 0, cfg.ny - 1)
+    cz = soz + jnp.clip(rz, 0, cfg.nz - 1)
+    cx = jnp.where(cx >= cfg.nx, cx - cfg.nx, cx)
+    cy = jnp.where(cy >= cfg.ny, cy - cfg.ny, cy)
+    cz = jnp.where(cz >= cfg.nz, cz - cfg.nz, cz)
+    return (cz * cfg.ny + cy) * cfg.nx + cx

@@ -29,12 +29,13 @@ from .. import geometry
 from ..state import MapState
 from ..estimator import estimate_velocities
 from ..ops.propagate import propagate
-from ..ops.rebin import rebin
+from ..ops.rebin import rebin, rebin_masked
 from ..ops.project import project_points
-from ..ops.fov import register_fov
+from ..ops.fov import register_fov, register_fov_masked
 from ..ops.update import measurement_update
 from ..ops.birth import particle_birth
 from ..ops.occupancy import occupancy_and_resample
+from ..ops.sweep import sweep
 
 
 class Frame(NamedTuple):
@@ -93,14 +94,45 @@ def make_step(cfg: MapConfig):
                 obs.cloud_world, obs.cloud_valid, state.estimator, cfg, dt, keys[0]
             )
 
-            # -- prediction + rebin (dsp_dynamic.h:300,627-701) ---------
-            particles = propagate(state.particles, cfg, keys[1], dt)
-            particles, rebin_stats = rebin(particles, cfg, origin, update_time)
-
-            # -- FOV registration (dsp_dynamic.h:1232-1271) -------------
-            particles, fovbin, fov_stats = register_fov(
-                particles, cfg, frame.sensor_pos, frame.quat, keys[2]
-            )
+            # -- prediction + rebin + FOV (dsp_dynamic.h:300,627-701,
+            # 1232-1271).  Deterministic-prediction configurations (the
+            # reference's own noise quirk makes limit-xy and static modes
+            # noise-free, ops/propagate.py) take the fused-sweep path: one
+            # pool pass computes advance, window masks and pyramid geometry.
+            if cfg.limit_motion_to_xy_plane or cfg.motion_model == "static":
+                if cfg.motion_model == "static":
+                    zeros = jnp.zeros_like(state.particles.vx)
+                    particles = dataclasses.replace(
+                        state.particles, vx=zeros, vy=zeros, vz=zeros
+                    )
+                else:
+                    particles = dataclasses.replace(
+                        state.particles,
+                        vz=jnp.where(
+                            state.particles.valid, 0.0, state.particles.vz
+                        ),
+                    )
+                sw = sweep(
+                    particles, cfg, dt, origin, frame.sensor_pos, frame.quat
+                )
+                particles = dataclasses.replace(
+                    particles, px=sw.px, py=sw.py, pz=sw.pz, flags=sw.flags
+                )
+                particles, pyr_plane, fov_plane, rebin_stats = rebin_masked(
+                    particles, cfg, sw, update_time
+                )
+                particles, fovbin, fov_stats = register_fov_masked(
+                    particles, cfg, frame.sensor_pos, pyr_plane, fov_plane,
+                    keys[2],
+                )
+            else:
+                particles = propagate(state.particles, cfg, keys[1], dt)
+                particles, rebin_stats = rebin(
+                    particles, cfg, origin, update_time
+                )
+                particles, fovbin, fov_stats = register_fov(
+                    particles, cfg, frame.sensor_pos, frame.quat, keys[2]
+                )
 
             # -- measurement update (dsp_dynamic.h:304,704-793) ---------
             particles, c_grid, upd_stats = measurement_update(

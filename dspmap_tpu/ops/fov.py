@@ -139,3 +139,69 @@ def register_fov(
         "fov_global_overflow": jnp.maximum(n_fov - f_cap, 0),
     }
     return new_particles, FovBinning(bpos, bw, brng, bmask, bslot), stats
+
+
+def register_fov_masked(
+    particles,
+    cfg: MapConfig,
+    sensor_pos: jnp.ndarray,
+    pyr_plane: jnp.ndarray,
+    fov_plane: jnp.ndarray,
+    key: jax.Array,
+):
+    """:func:`register_fov` with the per-slot pyramid geometry precomputed by
+    the fused sweep (limit-xy / static configurations: the in-FOV velocity
+    perturbation is statically dead, see module docstring)."""
+    S, V = particles.flags.shape
+    n_pyr, s_pyr = cfg.n_pyramids, cfg.pyramid_slots
+    f_cap = cfg.fov_buffer_capacity
+    grid_cap = n_pyr * s_pyr
+
+    fov_mask = fov_plane & particles.valid
+
+    idx, cand_pyr, ranks, sel_valid, n_fov = compact_and_group(
+        fov_mask, pyr_plane, f_cap, n_pyr
+    )
+    keep = sel_valid & (ranks < s_pyr)
+    kill = sel_valid & ~keep
+
+    flags = particles.flags.ravel().at[jnp.where(kill, idx, S * V)].set(
+        jnp.uint8(0), mode="drop"
+    ).reshape(S, V)
+    new_particles = dataclasses.replace(particles, flags=flags)
+
+    cell = jnp.where(keep, cand_pyr * s_pyr + ranks, grid_cap)
+    px = particles.px.ravel()[idx]
+    py = particles.py.ravel()[idx]
+    pz = particles.pz.ravel()[idx]
+    w = particles.weight.ravel()[idx]
+    rng_c = jnp.sqrt(
+        (px - sensor_pos[0]) ** 2
+        + (py - sensor_pos[1]) ** 2
+        + (pz - sensor_pos[2]) ** 2
+    )
+
+    def scat(vals, fill=0.0):
+        return (
+            jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
+            .at[cell]
+            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
+        )
+
+    bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, s_pyr, 3)
+    bw = scat(w).reshape(n_pyr, s_pyr)
+    brng = scat(rng_c).reshape(n_pyr, s_pyr)
+    bmask = scat(keep).reshape(n_pyr, s_pyr)
+    bslot = (
+        jnp.full((grid_cap + 1,), S * V, jnp.int32)
+        .at[cell]
+        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
+        .reshape(n_pyr, s_pyr)
+    )
+
+    stats = {
+        "in_fov": jnp.minimum(n_fov, f_cap),
+        "pyramid_full_killed": jnp.sum(kill),
+        "fov_global_overflow": jnp.maximum(n_fov - f_cap, 0),
+    }
+    return new_particles, FovBinning(bpos, bw, brng, bmask, bslot), stats

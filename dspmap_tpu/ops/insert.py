@@ -82,7 +82,7 @@ def insert_sorted(
         .set(jnp.float32(t), mode="drop", unique_indices=True)
         .reshape(S, V)
     )
-    return dataclasses.replace(
+    new = dataclasses.replace(
         particles,
         flags=flags,
         px=scat(particles.px, 0),
@@ -94,6 +94,9 @@ def insert_sorted(
         weight=scat(particles.weight, 6),
         t=tt,
     )
+    # placement info: final flat slot (= S*V sentinel for dropped) per
+    # destination-sorted candidate
+    return new, flat, keep
 
 
 def insert_particles(
@@ -121,7 +124,7 @@ def insert_particles(
     order, sorted_dest, ranks = sort_by_destination(dest, valid)
     payload = jnp.concatenate([pos, vel, weight[:, None]], axis=-1)[order]
     V = particles.flags.shape[1]
-    return insert_sorted(
+    new, _, _ = insert_sorted(
         particles,
         cfg,
         cell=jnp.minimum(sorted_dest, V),
@@ -131,3 +134,4 @@ def insert_particles(
         flag=flag,
         t=t,
     )
+    return new

@@ -1,0 +1,87 @@
+"""The fused per-slot sweep: prediction advance + window/rebin masks + FOV
+pyramid geometry computed in one pass over the particle pool.
+
+These are the three full-pool elementwise stages of the frame
+(``mapPrediction``'s motion + bounds test, ``dsp_dynamic.h:653-690``, and the
+pyramid membership of ``moveParticle``, ``:1232-1243``).  Computing them
+together bounds the HBM traffic to one read + one write of the pool -- the
+Pallas kernel in :mod:`.pallas.sweep` hits that bound; this module holds the
+XLA reference implementation with bit-identical outputs (used on CPU, in
+tests, and whenever ``cfg.use_pallas_sweep`` is off).
+
+Scope note: the fused path covers the ``limit_motion_to_xy_plane`` and
+static-model configurations, where the reference's own noise quirk makes
+prediction deterministic (see ops/propagate.py); the general noisy path keeps
+the separate-stage implementation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from .. import geometry
+
+
+class SweepOut(NamedTuple):
+    px: jnp.ndarray  # advanced positions [S, V]
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    flags: jnp.ndarray  # u8: 0 where the particle left the window
+    mover: jnp.ndarray  # bool: storage cell changed
+    new_cell: jnp.ndarray  # i32 storage cell of the advanced position
+    pyr: jnp.ndarray  # i32 pyramid cell (clipped)
+    fov: jnp.ndarray  # bool: valid & in FOV
+    moved_out: jnp.ndarray  # bool: valid & left the window
+
+
+def sweep_reference(
+    particles, cfg: MapConfig, dt, origin, sensor_pos, quat
+) -> SweepOut:
+    """XLA implementation; the Pallas kernel must match this exactly."""
+    S, V = particles.flags.shape
+    valid = particles.valid
+
+    if cfg.motion_model == "static":
+        px, py, pz = particles.px, particles.py, particles.pz
+    else:
+        px = jnp.where(valid, particles.px + particles.vx * dt, particles.px)
+        py = jnp.where(valid, particles.py + particles.vy * dt, particles.py)
+        pz = jnp.where(valid, particles.pz + particles.vz * dt, particles.pz)
+
+    wx, wy, wz = geometry.world_voxel_planar(px, py, pz, cfg)
+    rx, ry, rz = wx - origin[0], wy - origin[1], wz - origin[2]
+    inside = (
+        (rx >= 0) & (rx < cfg.nx)
+        & (ry >= 0) & (ry < cfg.ny)
+        & (rz >= 0) & (rz < cfg.nz)
+    )
+    moved_out = valid & ~inside
+    flags = jnp.where(moved_out, jnp.uint8(0), particles.flags)
+
+    new_cell = geometry.storage_index_from_rel(rx, ry, rz, origin, cfg)
+    current = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (S, V))
+    mover = valid & inside & (new_cell != current)
+
+    Rm = geometry.rotation_matrix(geometry.quaternion_conjugate(quat))
+    sx, sy, sz = geometry.rotate_planar(
+        Rm, px - sensor_pos[0], py - sensor_pos[1], pz - sensor_pos[2]
+    )
+    pyr, in_fov = geometry.pyramid_index_planar(sx, sy, sz, cfg)
+    fov = valid & inside & in_fov
+
+    return SweepOut(px, py, pz, flags, mover, new_cell, pyr, fov, moved_out)
+
+
+def sweep(particles, cfg: MapConfig, dt, origin, sensor_pos, quat) -> SweepOut:
+    """Dispatch: Pallas kernel on TPU when enabled, XLA reference otherwise."""
+    if getattr(cfg, "use_pallas_sweep", False):
+        import jax
+
+        if jax.default_backend() not in ("cpu",):
+            from .pallas.sweep import sweep_pallas
+
+            return sweep_pallas(particles, cfg, dt, origin, sensor_pos, quat)
+    return sweep_reference(particles, cfg, dt, origin, sensor_pos, quat)

@@ -1,0 +1,77 @@
+"""Pallas kernels vs their XLA reference implementations (interpret mode on
+CPU; the on-device path is exercised by bench/TPU runs)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dspmap_tpu as dm
+from dspmap_tpu.ops.sweep import sweep_reference
+from dspmap_tpu.ops.pallas.sweep import sweep_pallas
+from dspmap_tpu.ops.pallas.compact import compact_indices_pallas
+
+
+def _cfg(**kw):
+    base = dict(nx=16, ny=16, nz=8, max_input_points=128,
+                mover_capacity=1024, pyramid_slot_capacity=16, max_clusters=4)
+    base.update(kw)
+    return dm.dsp_dynamic(**base)
+
+
+def _populated(cfg, key=0, vz_zero=True):
+    state = dm.init_state(cfg, jax.random.key(key), init_particle_num=2000,
+                          init_weight=0.05)
+    p = state.particles
+    rng = np.random.default_rng(key)
+    S, V = p.flags.shape
+    p = dataclasses.replace(
+        p,
+        vx=jnp.asarray(rng.normal(0, 0.5, (S, V)), jnp.float32),
+        vy=jnp.asarray(rng.normal(0, 0.5, (S, V)), jnp.float32),
+        vz=jnp.zeros((S, V), jnp.float32) if vz_zero else p.vz,
+    )
+    return state, p
+
+
+@pytest.mark.parametrize("model", ["constant_velocity", "static"])
+def test_sweep_kernel_matches_reference(model):
+    cfg = _cfg(motion_model=model, estimator_enabled=model != "static")
+    state, p = _populated(cfg)
+    if model == "static":
+        zeros = jnp.zeros_like(p.vx)
+        p = dataclasses.replace(p, vx=zeros, vy=zeros, vz=zeros)
+    dt = jnp.float32(0.3)
+    sensor = jnp.asarray([0.2, -0.1, 0.4], jnp.float32)
+    quat = jnp.asarray([0.9689, 0.0, 0.0, 0.2474], jnp.float32)
+    origin = jnp.asarray(state.origin)
+
+    ref = sweep_reference(p, cfg, dt, origin, sensor, quat)
+    got = sweep_pallas(p, cfg, dt, origin, sensor, quat, interpret=True)
+
+    # The kernel may contract multiply-adds (FMA), so positions can differ by
+    # 1 ulp, and a sub-ulp position shift can flip voxel/pyramid membership
+    # exactly at a cell boundary.  Require float agreement to 1e-5 and <0.1%
+    # boundary flips on the discrete fields.
+    for name in ref._fields:
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        if name == "pyr":  # garbage where not in FOV
+            m = np.asarray(ref.fov) & np.asarray(got.fov)
+            a, b = a[m], b[m]
+        if a.dtype == np.float32:
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+        else:
+            frac = np.mean(a.astype(np.int64) != b.astype(np.int64))
+            assert frac < 1e-3, (name, frac)
+
+
+def test_compact_kernel_matches_nonzero():
+    rng = np.random.default_rng(0)
+    mask = rng.random(100_000) < 0.07
+    idx, count = compact_indices_pallas(jnp.asarray(mask), 16384,
+                                        interpret=True)
+    expect = np.nonzero(mask)[0]
+    assert int(count) == len(expect)
+    np.testing.assert_array_equal(np.asarray(idx)[: int(count)], expect)
