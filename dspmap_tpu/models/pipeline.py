@@ -53,6 +53,10 @@ class StepOutput(NamedTuple):
     accepted: jnp.ndarray  # bool: frame passed admission control
     weight_sum: jnp.ndarray  # f32 [V] per-voxel occupancy weight (storage order)
     metrics: dict  # scalar counters
+    #: the estimator's clustered cloud with per-point velocities -- the
+    #: getKMClusterResult surface (dsp_dynamic.h:441-445): points[P,3] world,
+    #: vel[P,3] (< -100 = unmatched dynamic cluster), dynamic[P], valid[P]
+    estimator_cloud: tuple
 
 
 def make_step(cfg: MapConfig):
@@ -183,19 +187,20 @@ def make_step(cfg: MapConfig):
                 **birth_stats,
                 **occ_stats,
             }
-            return new_state, metrics
+            cloud = (est_out.points, est_out.vel, est_out.dynamic, est_out.valid)
+            return new_state, metrics, cloud
 
         def skip(state: MapState):
-            zero_metrics = jax.tree.map(
-                lambda x: jnp.zeros_like(x), jax.eval_shape(run, state)[1]
-            )
-            return state, zero_metrics
+            shapes = jax.eval_shape(run, state)
+            zeros = jax.tree.map(lambda x: jnp.zeros_like(x), shapes[1:])
+            return (state,) + zeros
 
-        new_state, metrics = jax.lax.cond(accepted, run, skip, state)
+        new_state, metrics, cloud = jax.lax.cond(accepted, run, skip, state)
         return new_state, StepOutput(
             accepted=accepted,
             weight_sum=new_state.weight_sum,
             metrics=metrics,
+            estimator_cloud=cloud,
         )
 
     return step
@@ -310,7 +315,8 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
 
         new_state, metrics = jax.lax.cond(accepted, run, skip, state)
         return new_state, StepOutput(
-            accepted=accepted, weight_sum=new_state.weight_sum, metrics=metrics
+            accepted=accepted, weight_sum=new_state.weight_sum, metrics=metrics,
+            estimator_cloud=(),
         )
 
     return step
