@@ -28,7 +28,6 @@ Pipeline parity, step by step:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax

@@ -20,8 +20,6 @@ optimum restricted to real columns is exactly the rectangular Munkres result
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

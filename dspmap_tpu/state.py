@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 
 from .config import MapConfig
-from . import geometry
 
 FLAG_DEAD = jnp.uint8(0)
 FLAG_VALID = jnp.uint8(1)
