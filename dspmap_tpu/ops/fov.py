@@ -79,9 +79,8 @@ def register_fov(
     kill = sel_valid & ~keep  # pyramid-cell overflow -> vanish
 
     # Kill overflow particles (dsp_dynamic.h:1256-1259).
-    kill_idx = jnp.sort(jnp.where(kill, idx, S * V))
-    flags = particles.flags.ravel().at[kill_idx].set(
-        jnp.uint8(0), mode="drop", unique_indices=True, indices_are_sorted=True
+    flags = particles.flags.ravel().at[jnp.where(kill, idx, S * V)].set(
+        jnp.uint8(0), mode="drop"
     ).reshape(S, V)
 
     # Extra in-FOV velocity noise on survivors (dsp_dynamic.h:1261-1269);
@@ -104,14 +103,8 @@ def register_fov(
 
     new_particles = dataclasses.replace(particles, flags=flags, vx=vx, vy=vy, vz=vz)
 
-    # Dense binned tensors: all scatters hit unique (pyramid, rank) cells;
-    # candidates are re-sorted by cell so the scatters take XLA's vectorized
-    # sorted-unique path (docs/PERF.md).
+    # Dense binned tensors: all scatters hit unique (pyramid, rank) cells.
     cell = jnp.where(keep, cand_pyr * s_pyr + ranks, grid_cap)
-    order2 = jnp.argsort(cell)
-    cell = cell[order2]
-    idx = idx[order2]
-    keep = keep[order2]
     px = particles.px.ravel()[idx]
     py = particles.py.ravel()[idx]
     pz = particles.pz.ravel()[idx]
@@ -126,8 +119,7 @@ def register_fov(
         return (
             jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
             .at[cell]
-            .set(vals, mode="drop", unique_indices=True,
-                 indices_are_sorted=True)[:grid_cap]
+            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
         )
 
     bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, s_pyr, 3)
@@ -137,8 +129,7 @@ def register_fov(
     bslot = (
         jnp.full((grid_cap + 1,), S * V, jnp.int32)
         .at[cell]
-        .set(idx, mode="drop", unique_indices=True,
-             indices_are_sorted=True)[:grid_cap]
+        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
         .reshape(n_pyr, s_pyr)
     )
 
@@ -180,10 +171,6 @@ def register_fov_masked(
     new_particles = dataclasses.replace(particles, flags=flags)
 
     cell = jnp.where(keep, cand_pyr * s_pyr + ranks, grid_cap)
-    order2 = jnp.argsort(cell)
-    cell = cell[order2]
-    idx = idx[order2]
-    keep = keep[order2]
     px = particles.px.ravel()[idx]
     py = particles.py.ravel()[idx]
     pz = particles.pz.ravel()[idx]
@@ -198,8 +185,7 @@ def register_fov_masked(
         return (
             jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
             .at[cell]
-            .set(vals, mode="drop", unique_indices=True,
-                 indices_are_sorted=True)[:grid_cap]
+            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
         )
 
     bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, s_pyr, 3)
@@ -209,8 +195,7 @@ def register_fov_masked(
     bslot = (
         jnp.full((grid_cap + 1,), S * V, jnp.int32)
         .at[cell]
-        .set(idx, mode="drop", unique_indices=True,
-             indices_are_sorted=True)[:grid_cap]
+        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
         .reshape(n_pyr, s_pyr)
     )
 

@@ -62,37 +62,24 @@ def insert_sorted(
     ]  # [M] gather (small)
     flat = jnp.where(keep, slot * V + safe_cell, S * V)
 
-    # Re-sort candidates by their final flat destination: XLA vectorizes
-    # scatters whose indices are sorted AND unique (~14x faster than the
-    # serial update loop it emits otherwise; docs/PERF.md), and one small
-    # argsort + payload gather is far cheaper than that.  The returned
-    # placement info stays in the caller's candidate order.
-    flat_orig, keep_orig = flat, keep
-    order2 = jnp.argsort(flat)
-    flat = flat[order2]
-    payload = payload[order2]
-
     def scat(field, col):
         return (
             field.ravel()
             .at[flat]
-            .set(payload[:, col], mode="drop", unique_indices=True,
-                 indices_are_sorted=True)
+            .set(payload[:, col], mode="drop", unique_indices=True)
             .reshape(S, V)
         )
 
     flags = (
         particles.flags.ravel()
         .at[flat]
-        .set(jnp.uint8(flag), mode="drop", unique_indices=True,
-             indices_are_sorted=True)
+        .set(jnp.uint8(flag), mode="drop", unique_indices=True)
         .reshape(S, V)
     )
     tt = (
         particles.t.ravel()
         .at[flat]
-        .set(jnp.float32(t), mode="drop", unique_indices=True,
-             indices_are_sorted=True)
+        .set(jnp.float32(t), mode="drop", unique_indices=True)
         .reshape(S, V)
     )
     new = dataclasses.replace(
@@ -108,8 +95,8 @@ def insert_sorted(
         t=tt,
     )
     # placement info: final flat slot (= S*V sentinel for dropped) per
-    # destination-sorted candidate (caller's order)
-    return new, flat_orig, keep_orig
+    # destination-sorted candidate
+    return new, flat, keep
 
 
 def insert_particles(

@@ -95,16 +95,11 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
         ok,
         cell * T + jnp.arange(T, dtype=jnp.int32)[:, None],
         V * T,
-    ).ravel()
-    # duplicates are expected (several particles per future voxel), so only
-    # sortedness can be promised -- still lets XLA segment the adds
-    order_f = jnp.argsort(tgt)
-    tgt = tgt[order_f]
-    wvals = jnp.broadcast_to(m_w[None, :], (T, m_w.shape[0])).ravel()[order_f]
+    )
     future = (
         future.ravel()
-        .at[tgt]
-        .add(wvals, mode="drop", indices_are_sorted=True)
+        .at[tgt.ravel()]
+        .add(jnp.broadcast_to(m_w[None, :], tgt.shape).ravel(), mode="drop")
         .reshape(V, T)
     )
 

@@ -124,22 +124,16 @@ def rebin_masked(particles, cfg: MapConfig, sw, t):
         flag=jnp.uint8(1), t=t,
     )
 
-    # Move the pyramid/FOV annotations with the relocated particles
-    # (destination-sorted so the scatters vectorize).
+    # Move the pyramid/FOV annotations with the relocated particles.
     safe_flat = jnp.where(keep, flat, S * V)
-    order2 = jnp.argsort(safe_flat)
-    safe_flat = safe_flat[order2]
-    src_idx = idx[order2]
     pyr_plane = (
         sw.pyr.ravel().at[safe_flat].set(
-            sw.pyr.ravel()[src_idx], mode="drop", unique_indices=True,
-            indices_are_sorted=True,
+            sw.pyr.ravel()[idx], mode="drop", unique_indices=True
         ).reshape(S, V)
     )
     fov_plane = (
         sw.fov.ravel().at[safe_flat].set(
-            sw.fov.ravel()[src_idx], mode="drop", unique_indices=True,
-            indices_are_sorted=True,
+            sw.fov.ravel()[idx], mode="drop", unique_indices=True
         ).reshape(S, V)
     )
 

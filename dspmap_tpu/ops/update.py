@@ -187,17 +187,9 @@ def measurement_update(
     new_w = jnp.where(updated, fovbin.weight * factor, fovbin.weight)
 
     # ---- write back into the pool -------------------------------------
-    # slots re-sorted so the scatters take the vectorized sorted-unique path
     slot = jnp.where(updated, fovbin.slot, S * V).ravel()
-    order = jnp.argsort(slot)
-    slot = slot[order]
-    w_sorted = new_w.ravel()[order]
-    weight = particles.weight.ravel().at[slot].set(
-        w_sorted, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    t = particles.t.ravel().at[slot].set(
-        update_time, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    weight = particles.weight.ravel().at[slot].set(new_w.ravel(), mode="drop")
+    t = particles.t.ravel().at[slot].set(update_time, mode="drop")
     new_particles = dataclasses.replace(
         particles, weight=weight.reshape(S, V), t=t.reshape(S, V)
     )
