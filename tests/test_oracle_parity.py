@@ -91,3 +91,85 @@ def test_occupancy_parity_dynamic(oracle_bins):
     # versa (stochastic filters, different RNG -> not exact)
     assert m_ours > 0.75, fracs
     assert m_ref > 0.75, fracs
+
+
+@pytest.mark.slow
+def test_occupancy_parity_static(oracle_bins):
+    """Same comparison for the dsp_static variant (zero-velocity model)."""
+    sys.path.insert(0, str(ORACLE))
+    from run_oracle import make_frames, run
+
+    import dspmap_tpu as dm
+
+    n_frames, max_points = 20, 2000
+    frames = make_frames(n_frames, max_points, seed=9, dense=False)
+    ref = run("static", frames, max_points, threshold=0.2)
+
+    # the static oracle's grid is 50x50x30 @ 0.2 m (dsp_static.h:38-42)
+    cfg = dm.example_node_settings(dm.dsp_static(max_input_points=max_points))
+    state = dm.init_state(cfg, jax.random.key(0))
+    step = jax.jit(dm.make_step(cfg))
+    ours = []
+    for pts, n, pos, quat, t in frames:
+        frame = dm.Frame(
+            jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+            jnp.asarray(quat), jnp.asarray(np.float32(t)),
+        )
+        state, out = step(state, frame)
+        occ, centers, future, state = dm.get_occupancy_map(state, cfg, 0.2)
+        ours.append(np.asarray(centers)[np.asarray(occ)])
+
+    tol = cfg.voxel_resolution * 1.6
+    fracs = []
+    for k in range(-4, 0):
+        ref_world = ref["frames"][k]["ego_centers"] + frames[k][2]
+        m_ours, m_ref = _match_stats(ours[k], ref_world, tol)
+        fracs.append((m_ours, m_ref, len(ours[k]), len(ref_world)))
+    assert np.mean([f[0] for f in fracs]) > 0.7, fracs
+    assert np.mean([f[1] for f in fracs]) > 0.7, fracs
+
+
+@pytest.mark.slow
+def test_future_status_parity_dynamic(oracle_bins):
+    """The accumulated future-status grids agree in where they put mass:
+    compare the final-frame future grid (summed over horizons) as weighted
+    point sets in world space."""
+    sys.path.insert(0, str(ORACLE))
+    from run_oracle import make_frames, run
+
+    import dspmap_tpu as dm
+    from dspmap_tpu import geometry
+
+    n_frames, max_points = 20, 3000
+    frames = make_frames(n_frames, max_points, seed=11, dense=False)
+    ref = run("dynamic", frames, max_points, threshold=0.2)
+
+    cfg = dm.example_node_settings(dm.dsp_dynamic(max_input_points=max_points))
+    state = dm.init_state(cfg, jax.random.key(0))
+    step = jax.jit(dm.make_step(cfg))
+    for i, (pts, n, pos, quat, t) in enumerate(frames):
+        frame = dm.Frame(jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+                         jnp.asarray(quat), jnp.asarray(np.float32(t)))
+        state, out = step(state, frame)
+        if i < n_frames - 1:
+            occ, centers, future, state = dm.get_occupancy_map(state, cfg, 0.2)
+
+    # ours: ego-ordered future grid of the last frame
+    occ, centers, future, state = dm.get_occupancy_map(state, cfg, 0.2)
+    ours_f = np.asarray(future).sum(axis=1)
+    ours_pts = np.asarray(centers)[ours_f > 0.2]
+
+    # oracle: future grid in its ego voxel order
+    dims = ref["dims"]
+    res = ref["res"]
+    ref_f = ref["future"].sum(axis=1)
+    idx = np.nonzero(ref_f > 0.2)[0]
+    x = idx % dims[0]
+    y = (idx // dims[0]) % dims[1]
+    z = idx // (dims[0] * dims[1])
+    half = np.asarray([dims[0], dims[1], dims[2]]) * res / 2
+    ego = np.column_stack([x, y, z]) * res + res / 2 - half
+    ref_pts = ego + frames[-1][2]
+
+    m_ours, m_ref = _match_stats(ours_pts, ref_pts, cfg.voxel_resolution * 2.0)
+    assert m_ours > 0.6 and m_ref > 0.6, (m_ours, m_ref, len(ours_pts), len(ref_pts))
