@@ -28,6 +28,7 @@ from .config import (  # noqa: F401
     dsp_dynamic,
     dsp_dynamic_multi_neighbors,
     dsp_static,
+    large_urban,
     example_node_settings,
     performance_level_parameters,
 )

@@ -360,3 +360,31 @@ def performance_level_parameters(
         half_fov_h_deg=half_fov_h,
         half_fov_v_deg=half_fov_v,
     )
+
+
+def large_urban(**overrides) -> MapConfig:
+    """BASELINE.json config 4: 30 x 30 x 6 m at 0.1 m voxels (300x300x60 =
+    5.4M voxels), 6 future horizons, dense urban clouds.
+
+    Particle density follows the tuner formula at this resolution
+    (set_map_parameters.py:387-390): density * 0.1^3 floored at 5 -> 5
+    particles/voxel, 10 slots -- a 54M-slot pool (~2 GB of f32 state), within
+    one TPU chip's HBM; shard over a mesh for headroom (parallel/).
+    """
+    cfg = MapConfig(
+        nx=300,
+        ny=300,
+        nz=60,
+        voxel_resolution=0.1,
+        max_particles_per_voxel=5,
+        voxel_filter_resolution=0.1,
+        position_noise_std=0.05,
+        velocity_noise_std=0.05,
+        sigma_ob=0.1,
+        newborn_particle_weight=0.0001,
+        # the derived per-pyramid capacity formula gives 7528 here (it scales
+        # with voxel count); 512 is generous against the 64k FOV buffer and
+        # keeps the update tiles the same size as the default map's
+        pyramid_slot_capacity=512,
+    )
+    return dataclasses.replace(cfg, **overrides).validate()
