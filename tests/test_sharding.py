@@ -72,3 +72,45 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_multisensor_step():
+    """Map parallelism composes with multi-sensor fusion."""
+    import numpy as np
+    from dspmap_tpu.models.pipeline import (
+        make_multisensor_step, init_multisensor_state,
+    )
+    from dspmap_tpu.utils import sim
+
+    n_dev, n_sensors = 4, 2
+    cfg = cfg_for(n_dev)
+    mesh = make_mesh(n_dev)
+    state = init_multisensor_state(cfg, n_sensors, jax.random.key(0))
+    state = jax.device_put(state, state_shardings(mesh, state))
+    step = jax.jit(make_multisensor_step(cfg, n_sensors))
+
+    rng = np.random.default_rng(0)
+    pos = np.zeros(3, np.float32)
+    qf = np.array([1.0, 0, 0, 0], np.float32)
+    qb = np.array([0.0, 0, 0, 1.0], np.float32)
+    scene = sim.street_scene(0)
+    for i in range(2):
+        t = np.float32(0.1 * i)
+        p1, n1 = sim.render_frame(scene, pos, qf, float(t), rng,
+                                  cfg.max_input_points,
+                                  fov_h_deg=cfg.half_fov_h_deg,
+                                  fov_v_deg=cfg.half_fov_v_deg)
+        p2, n2 = sim.render_frame(scene, pos, qb, float(t), rng,
+                                  cfg.max_input_points,
+                                  fov_h_deg=cfg.half_fov_h_deg,
+                                  fov_v_deg=cfg.half_fov_v_deg)
+        frames = Frame(
+            points=jnp.asarray(np.stack([p1, p2])),
+            n_points=jnp.asarray([n1, n2], jnp.int32),
+            sensor_pos=jnp.asarray(np.stack([pos, pos])),
+            quat=jnp.asarray(np.stack([qf, qb])),
+            timestamp=jnp.asarray([t, t]),
+        )
+        state, out = step(state, frames)
+        assert bool(out.accepted)
+    assert len(state.particles.weight.sharding.device_set) == n_dev
