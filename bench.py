@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -25,6 +26,30 @@ import numpy as np
 
 
 def main() -> None:
+    """Wrapper: run the measurement in a child process with a timeout and one
+    retry.  The tunneled TPU's remote-compile service intermittently stalls
+    for tens of minutes (docs/PERF.md); a fresh process after killing the
+    stalled one reliably recovers, so retrying re-measures honestly rather
+    than hanging the harness."""
+    if os.environ.get("DSPMAP_BENCH_CHILD") == "1":
+        return _measure()
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "DSPMAP_BENCH_CHILD": "1"},
+                timeout=1500,
+            )
+            if proc.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt} timed out (compile stall); "
+                  f"retrying" if attempt == 0 else "# bench failed twice",
+                  file=sys.stderr)
+    sys.exit(1)
+
+
+def _measure() -> None:
     import jax
     import jax.numpy as jnp
 
