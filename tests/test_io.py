@@ -2,6 +2,7 @@
 (against a synthetic bag written by the test), replay CLI."""
 
 import struct
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -182,3 +183,19 @@ def test_replay_cli_runs(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "updates_per_sec" in out.stdout
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    cfg = small_cfg()
+    state, _ = _advance(cfg, init_state(cfg, jax.random.key(3)))
+    path = tmp_path / "orbax_ckpt"
+    save_state(state, path, backend="orbax")
+    restored = load_state(init_state(cfg, jax.random.key(4)), path,
+                          backend="orbax")
+    np.testing.assert_array_equal(
+        np.asarray(state.particles.weight), np.asarray(restored.particles.weight)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.origin), np.asarray(restored.origin)
+    )
