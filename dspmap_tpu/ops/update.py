@@ -137,20 +137,21 @@ def measurement_update(
     pw = fovbin.weight * fovbin.mask  # masked particle weights
 
     # ---- pass 1: C(z) --------------------------------------------------
-    # chunks unrolled (few iterations): straight-line code lets XLA schedule
-    # and fuse across chunks without sequential while-loop overhead
-    pos_c = fovbin.pos.reshape(n_chunks, chunk, s_pyr, 3)
-    pw_c = pw.reshape(n_chunks, chunk, s_pyr)
-    pts_c = nbr_pts.reshape(n_chunks, chunk, ck, 3)
-
-    c_parts = []
-    for b in range(n_chunks):
-        g = _pair_g(pos_c[b], pts_c[b], cfg.sigma_ob)  # [B, S, CK]
-        c_parts.append(
-            jnp.einsum("bsm,bs->bm", g, pw_c[b],
-                       preferred_element_type=jnp.float32)
+    def pass1(args):
+        ppos, w, pts = args
+        g = _pair_g(ppos, pts, cfg.sigma_ob)  # [B, S, CK]
+        return jnp.einsum(
+            "bsm,bs->bm", g, w, preferred_element_type=jnp.float32
         )
-    c_part = jnp.concatenate(c_parts).reshape(n_pyr, ck) * cfg.p_detection
+
+    c_part = jax.lax.map(
+        pass1,
+        (
+            fovbin.pos.reshape(n_chunks, chunk, s_pyr, 3),
+            pw.reshape(n_chunks, chunk, s_pyr),
+            nbr_pts.reshape(n_chunks, chunk, ck, 3),
+        ),
+    ).reshape(n_pyr, ck) * cfg.p_detection
 
     c_grid = scatter_neighbor_sum(c_part, cfg) + (expected_newborn + cfg.kappa)
     c_grid = jnp.where(obs.mask, c_grid, 1.0)  # masked cells: inert positive
@@ -158,15 +159,21 @@ def measurement_update(
     # ---- pass 2: weight factors ---------------------------------------
     nbr_cinv = jnp.where(nbr_mask, 1.0 / gather_neighbors(c_grid, cfg, 1.0), 0.0)
 
-    cinv_c = nbr_cinv.reshape(n_chunks, chunk, ck)
-    zk_parts = []
-    for b in range(n_chunks):
-        g = _pair_g(pos_c[b], pts_c[b], cfg.sigma_ob)
-        zk_parts.append(
-            jnp.einsum("bsm,bm->bs", g, cinv_c[b],
-                       preferred_element_type=jnp.float32)
+    def pass2(args):
+        ppos, pts, cinv = args
+        g = _pair_g(ppos, pts, cfg.sigma_ob)
+        return jnp.einsum(
+            "bsm,bm->bs", g, cinv, preferred_element_type=jnp.float32
         )
-    sum_by_zk = jnp.concatenate(zk_parts).reshape(n_pyr, s_pyr) * cfg.p_detection
+
+    sum_by_zk = jax.lax.map(
+        pass2,
+        (
+            fovbin.pos.reshape(n_chunks, chunk, s_pyr, 3),
+            nbr_pts.reshape(n_chunks, chunk, ck, 3),
+            nbr_cinv.reshape(n_chunks, chunk, ck),
+        ),
+    ).reshape(n_pyr, s_pyr) * cfg.p_detection
 
     factor = (1.0 - cfg.p_detection) + sum_by_zk
 
