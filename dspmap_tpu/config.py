@@ -266,6 +266,11 @@ def dsp_dynamic_multi_neighbors(**overrides) -> MapConfig:
         half_fov_v_deg=27,
         occlusion_slack=0.2,
         voxel_filter_resolution=0.2,
+        # the reference reuses its 100-point pyramid capacity at 1 degree
+        # (mn:69), but a 1x1-degree cell at 8 m spans ~14 cm -- with a 0.2 m
+        # voxel-filtered cloud its geometric ceiling is a couple of points.
+        # 24 keeps the dense update tile 4x smaller with capacity to spare.
+        max_obs_points_per_pyramid=24,
     )
     return dataclasses.replace(cfg, **overrides).validate()
 
