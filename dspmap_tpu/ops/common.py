@@ -134,20 +134,15 @@ def segment_counts(ids: jnp.ndarray, valid: jnp.ndarray, num_segments: int) -> j
 
 
 def select_rows(table: jnp.ndarray, row_idx: jnp.ndarray, n_rows: int):
-    """``out[...] = table[row_idx[...], ...]`` along a small leading axis.
+    """``out[...] = table[row_idx[...], ...]`` for a *small* leading axis.
 
-    Measured: XLA gather with per-element indices runs at ~7 ns/element on
-    this TPU while a select sweep is one dense VPU pass per row -- the sweep
-    wins for shallow axes, the gather for deep ones (the static/multi-neighbor
-    variants carry 50-60 slots per voxel).
+    Measured: XLA gather with per-element indices over multi-million-entry
+    operands runs at ~135M elem/s on this TPU; an ``n_rows``-step select sweep
+    is a dense VPU pass per row and wins for n_rows <= ~32 (our slot axes).
     """
     extra = table.ndim - row_idx.ndim
     if extra > 0:
         row_idx = row_idx.reshape(row_idx.shape + (1,) * extra)
-    if n_rows > 24:
-        return jnp.take_along_axis(
-            table, jnp.clip(row_idx, 0, n_rows - 1), axis=0
-        )
     out = jnp.where(row_idx == 0, table[0], jnp.zeros((), table.dtype))
     for j in range(1, n_rows):
         out = jnp.where(row_idx == j, table[j], out)
