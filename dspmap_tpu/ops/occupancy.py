@@ -152,12 +152,9 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
     )
     c_v = c_idx % V
     c_r = free_rank.ravel()[c_idx]
-    # one contiguous row-gather of each copy's demand column (transposed so
-    # rows are contiguous), then a tiny [copies, S] comparison reduce
-    demand_cols = demand_end.T[c_v]  # [copies, S]
-    src_slot = jnp.sum(
-        (demand_cols <= c_r[:, None]).astype(jnp.int32), axis=1
-    )
+    src_slot = jnp.zeros_like(c_idx)
+    for j in range(S):  # tiny: comparisons on the copy buffer only
+        src_slot = src_slot + (demand_end[j][c_v] <= c_r)
     src_flat = jnp.where(c_sel, jnp.minimum(src_slot, S - 1) * V + c_v, S * V)
     dst_flat = jnp.where(c_sel, c_idx, S * V)
 
