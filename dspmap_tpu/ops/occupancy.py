@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask
+from .common import compact_mask, select_rows
 from ..state import FLAG_VALID
 
 
@@ -127,13 +127,12 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
     total_free = jnp.sum(is_free, axis=0)  # [V]
 
     # Copy placement: free slot with rank r sources the particle j with
-    # demand_end[j-1] <= r < demand_end[j].  Copies are FEW (bounded by the
-    # resampling targets), so instead of slots-deep sweeps over the whole
-    # pool we compact the filled positions and move payloads point-to-point
-    # (see docs/PERF.md: 8 fields x S dense passes lose badly for the
-    # 50-60-slot variants).
+    # demand_end[j-1] <= r < demand_end[j]; computed as a slots-deep sweep.
     demand_end = jnp.cumsum(extra, axis=0)  # inclusive, [S, V]
     total_extra = demand_end[-1]  # [V]
+    src_idx = jnp.zeros((S, V), jnp.int32)
+    for j in range(S):
+        src_idx = src_idx + (demand_end[j][None, :] <= free_rank)
     filled = is_free & (free_rank < jnp.minimum(total_extra, total_free)) & do_rs
 
     # Fold-back for copies that found no space (dsp_dynamic.h:1037-1041).
@@ -147,23 +146,8 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
     new_flags = jnp.where(dropped, jnp.uint8(0), new_flags)
     new_flags = jnp.where(filled, FLAG_VALID, new_flags)
 
-    c_idx, c_sel, n_copies, n_copy_over = compact_mask(
-        filled, cfg.mover_capacity
-    )
-    c_v = c_idx % V
-    c_r = free_rank.ravel()[c_idx]
-    src_slot = jnp.zeros_like(c_idx)
-    for j in range(S):  # tiny: comparisons on the copy buffer only
-        src_slot = src_slot + (demand_end[j][c_v] <= c_r)
-    src_flat = jnp.where(c_sel, jnp.minimum(src_slot, S - 1) * V + c_v, S * V)
-    dst_flat = jnp.where(c_sel, c_idx, S * V)
-
     def place(field):
-        vals = field.ravel()[jnp.minimum(src_flat, S * V - 1)]
-        return (
-            field.ravel().at[dst_flat].set(vals, mode="drop",
-                                           unique_indices=True).reshape(S, V)
-        )
+        return jnp.where(filled, select_rows(field, src_idx, S), field)
 
     new_particles = dataclasses.replace(
         particles,
@@ -182,8 +166,7 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
         "culled": jnp.sum(particles.valid) - jnp.sum(valid),
         "resampled_voxels": jnp.sum(do_rs),
         "resample_dropped": jnp.sum(dropped),
-        "resample_copies": n_copies,
-        "resample_copy_overflow": n_copy_over,
+        "resample_copies": jnp.sum(filled),
         "future_moving": n_moving,
         "future_overflow": n_overflow,
     }
