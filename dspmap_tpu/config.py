@@ -123,12 +123,48 @@ class MapConfig:
     max_clusters: int = 16
     #: capacity of the per-frame cross-voxel mover / moving-particle buffers
     #: (TPU-side budget; the reference has no analogue because it relocates
-    #: serially).  Only self-moving particles enter these buffers -- a few
-    #: thousand in the reference's scenes; overflow is killed and counted.
-    mover_capacity: int = 1 << 14
+    #: serially).  Only self-moving particles enter these buffers -- street
+    #: scene peaks: 1.1k movers / 1.5k future-movers (tools/
+    #: occupancy_stats.py) -- and every gather in the mover chain scales
+    #: with this capacity; overflow is killed and counted
+    #: (``mover_overflow_killed`` / ``future_overflow`` metrics).
+    mover_capacity: int = 1 << 13
     #: label-propagation sweeps for Euclidean clustering (with pointer
     #: jumping; 2^n reach per sweep covers any practical cluster diameter).
     cluster_propagation_iters: int = 12
+    # --- measurement-update processing tiers (TPU-side; no semantics
+    # change).  The reference's per-pyramid capacities
+    # (SAFE_PARTICLE_NUM_PYRAMID=462, 100 obs points; dsp_dynamic.h:64-69)
+    # are kill/drop thresholds sized for worst-case density, but realized
+    # per-cell occupancy is far below them (tools/occupancy_stats.py: peak
+    # 176 particles / 100 points on the street scene).  Processing dense
+    # [n_pyr, capacity] tiles at the full thresholds wastes ~20x the pair
+    # work, so the update splits each axis in two tiers: ranks below the
+    # dense tier go through dense tiles; ranks between the dense tier and
+    # the reference threshold take an exact compacted spill path (identical
+    # math, different layout).  Kill/drop thresholds are unchanged.
+    #: dense particle tier per pyramid cell; ``None`` derives
+    #: ``min(pyramid_slots, 64)`` (32 at 1-degree resolution).
+    pyramid_dense_slots: int | None = None
+    #: capacity of the compacted spill-particle buffer (ranks in
+    #: [dense_slots, pyramid_slots)); overflow skips the update that frame
+    #: and is counted in ``metrics["update_spill_overflow"]``.
+    particle_spill_capacity: int = 4096
+    #: dense observation tier per pyramid cell; ``None`` derives
+    #: ``min(max_obs_points_per_pyramid, 32)`` (16 at 1-degree resolution).
+    obs_dense_points: int | None = None
+    #: scatter-budget bucket for newborn insertion (ops/insert.py): when the
+    #: frame's insertable newborns fit, they are compacted before the nine
+    #: field scatters (XLA scatter cost is capacity-bound); otherwise the
+    #: exact full-capacity scatter runs.  ``None`` disables the
+    #: specialization (single full-capacity program).
+    birth_compact_capacity: int | None = 1 << 15
+    #: capacity (in *cells*) of the spill-observation tier: cells holding
+    #: more than the dense tier of points get a compacted per-cell tile of
+    #: the remainder (up to the reference drop threshold).  Overflowing
+    #: cells' spill points are dropped and counted; the street scene peaks
+    #: at ~10 spilled cells (tools/occupancy_stats.py).
+    obs_spill_capacity: int = 64
     #: run the fused per-slot sweep (prediction advance + rebin masks + FOV
     #: geometry) as a Pallas TPU kernel instead of the identical XLA
     #: implementation (ops/sweep.py).  Measured at parity (1.71 vs 1.78 ms,
@@ -137,11 +173,15 @@ class MapConfig:
     #: this environment's tunneled chip.
     use_pallas_sweep: bool = False
     #: global capacity of the in-FOV particle buffer; ``None`` derives
-    #: ``min(n_pyramids * pyramid_slots, 2^16)``.  Overflow particles keep
+    #: ``min(n_pyramids * pyramid_slots, 2^15)``.  Overflow particles keep
     #: their weight but skip the measurement update that frame (the
-    #: reference's only cap is the per-pyramid slot list).  Every gather and
-    #: scatter in the FOV path scales with this capacity, not the live
-    #: population -- keep it near the realistic in-FOV peak.
+    #: reference's only cap is the per-pyramid slot list); overflow is
+    #: counted in ``metrics["fov_global_overflow"]`` and guarded by scale
+    #: tests.  Every gather and scatter in the FOV path scales with this
+    #: capacity, not the live population (measured ~0.5 ms per 64k-capacity
+    #: pool gather, docs/PERF.md) -- keep it near 2-3x the realistic in-FOV
+    #: peak (street scene: 11.5k dynamic / 16k multi-neighbor,
+    #: tools/occupancy_stats.py).
     fov_capacity: int | None = None
 
     # ---------------------------------------------------------------- derived
@@ -202,10 +242,28 @@ class MapConfig:
         return _round_up(max(cap, 8), 8)
 
     @property
+    def dense_slots(self) -> int:
+        """Dense particle tier of the measurement update (see
+        ``pyramid_dense_slots``)."""
+        if self.pyramid_dense_slots is not None:
+            return min(self.pyramid_dense_slots, self.pyramid_slots)
+        base = 64 if self.angle_resolution_deg >= 2 else 32
+        return min(self.pyramid_slots, base)
+
+    @property
+    def obs_dense(self) -> int:
+        """Dense observation tier of the measurement update (see
+        ``obs_dense_points``)."""
+        if self.obs_dense_points is not None:
+            return min(self.obs_dense_points, self.max_obs_points_per_pyramid)
+        base = 32 if self.angle_resolution_deg >= 2 else 16
+        return min(self.max_obs_points_per_pyramid, base)
+
+    @property
     def fov_buffer_capacity(self) -> int:
         if self.fov_capacity is not None:
             return self.fov_capacity
-        return min(self.n_pyramids * self.pyramid_slots, 1 << 16)
+        return min(self.n_pyramids * self.pyramid_slots, 1 << 15)
 
     @property
     def neighbor_cells(self) -> int:
@@ -266,11 +324,10 @@ def dsp_dynamic_multi_neighbors(**overrides) -> MapConfig:
         half_fov_v_deg=27,
         occlusion_slack=0.2,
         voxel_filter_resolution=0.2,
-        # the reference reuses its 100-point pyramid capacity at 1 degree
-        # (mn:69), but a 1x1-degree cell at 8 m spans ~14 cm -- with a 0.2 m
-        # voxel-filtered cloud its geometric ceiling is a couple of points.
-        # 24 keeps the dense update tile 4x smaller with capacity to spare.
-        max_obs_points_per_pyramid=24,
+        # the reference's 100-point pyramid capacity is kept verbatim
+        # (mn:69); the two-tier update makes it cheap (realized 1-degree
+        # cells peak at ~51 points on the street scene, so the dense tier
+        # carries 16 and the rest take the exact spill path).
     )
     return dataclasses.replace(cfg, **overrides).validate()
 
@@ -388,8 +445,11 @@ def large_urban(**overrides) -> MapConfig:
         sigma_ob=0.1,
         newborn_particle_weight=0.0001,
         # the derived per-pyramid capacity formula gives 7528 here (it scales
-        # with voxel count); 512 is generous against the 64k FOV buffer and
+        # with voxel count); 512 is generous against the FOV buffer and
         # keeps the update tiles the same size as the default map's
         pyramid_slot_capacity=512,
+        # dense urban clouds put more particles in FOV than the default
+        # street scenes; keep 2^16 headroom at this scale
+        fov_capacity=1 << 16,
     )
     return dataclasses.replace(cfg, **overrides).validate()

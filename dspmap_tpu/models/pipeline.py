@@ -59,13 +59,19 @@ class StepOutput(NamedTuple):
     estimator_cloud: tuple
 
 
-def make_step(cfg: MapConfig, with_metrics: bool = True):
+def make_step(cfg: MapConfig, with_metrics: bool = True,
+              admission_control: bool = True):
     """Build the jittable per-frame transition for ``cfg``.
 
     ``with_metrics=False`` elides the ~20 observability reductions (about a
     millisecond per frame of mask sums over the pool) for
     latency-critical deployments; ``StepOutput.metrics`` then carries only
     ``alive`` (needed by callers) and zeros elsewhere.
+
+    ``admission_control=False`` drops the frame-rejection ``lax.cond``
+    wrapper (dsp_dynamic.h:193-208) and runs the body unconditionally --
+    for profiling only: the cond swallows per-op source attribution in
+    device traces (every fusion reports the cond's line).
     """
     cfg.validate()
 
@@ -145,7 +151,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True):
                 )
 
             # -- measurement update (dsp_dynamic.h:304,704-793) ---------
-            particles, c_grid, upd_stats = measurement_update(
+            particles, norm_coeff, upd_stats = measurement_update(
                 particles, fovbin, obs, cfg, expected_newborn, update_time
             )
 
@@ -158,8 +164,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True):
                 est_vel=est_out.vel,
                 est_dynamic=est_out.dynamic,
                 est_valid=est_out.valid,
-                c_grid=c_grid,
-                obs_mask=obs.mask,
+                norm_coeff=norm_coeff,
                 origin=origin,
                 update_time=update_time,
             )
@@ -204,7 +209,10 @@ def make_step(cfg: MapConfig, with_metrics: bool = True):
             zeros = jax.tree.map(lambda x: jnp.zeros_like(x), shapes[1:])
             return (state,) + zeros
 
-        new_state, metrics, cloud = jax.lax.cond(accepted, run, skip, state)
+        if admission_control:
+            new_state, metrics, cloud = jax.lax.cond(accepted, run, skip, state)
+        else:
+            new_state, metrics, cloud = run(state)
         return new_state, StepOutput(
             accepted=accepted,
             weight_sum=new_state.weight_sum,
@@ -275,14 +283,14 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
                 particles, fovbin, _ = register_fov(
                     particles, cfg, frame.sensor_pos, frame.quat, k_fov
                 )
-                particles, c_grid, _ = measurement_update(
+                particles, norm_coeff, _ = measurement_update(
                     particles, fovbin, obs, cfg, expected_newborn, update_time
                 )
                 particles, _ = particle_birth(
                     particles, cfg, k_birth,
                     est_points=est_out.points, est_vel=est_out.vel,
                     est_dynamic=est_out.dynamic, est_valid=est_out.valid,
-                    c_grid=c_grid, obs_mask=obs.mask,
+                    norm_coeff=norm_coeff,
                     origin=origin, update_time=update_time,
                 )
                 return (particles, key), est_state

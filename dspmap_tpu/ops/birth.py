@@ -49,8 +49,7 @@ def particle_birth(
     est_vel: jnp.ndarray,  # [P, 3] cluster velocity (sentinel < -100 if unknown)
     est_dynamic: jnp.ndarray,  # [P] bool: from a dynamic-candidate cluster
     est_valid: jnp.ndarray,  # [P] bool
-    c_grid: jnp.ndarray,  # [n_pyr, K] measurement normalizers C(z)
-    obs_mask: jnp.ndarray,  # [n_pyr, K]
+    norm_coeff: jnp.ndarray,  # scalar: sum_z 1/C(z) from the update
     origin: jnp.ndarray,
     update_time,
 ):
@@ -58,8 +57,9 @@ def particle_birth(
     P = est_points.shape[0]
     n_b = cfg.newborn_particles_per_point
 
-    # Newborn weight from the C-normalizer sum (dsp_dynamic.h:798-805).
-    norm_coeff = jnp.sum(jnp.where(obs_mask, 1.0 / c_grid, 0.0))
+    # Newborn weight from the C-normalizer sum (dsp_dynamic.h:798-805);
+    # ``norm_coeff`` is computed by the measurement update over both
+    # observation tiers.
     w_new = cfg.newborn_particle_weight * norm_coeff
 
     # --- per-point DS classification (dsp_dynamic.h:827-866) -----------
@@ -143,6 +143,7 @@ def particle_birth(
         origin=origin,
         flag=FLAG_NEWBORN,
         t=update_time,
+        compact_to=cfg.birth_compact_capacity,
     )
     stats = {
         "birth_candidates": jnp.sum(valid),

@@ -7,11 +7,12 @@ is a pointer-chasing structure with data-dependent shapes -- hostile to XLA --
 so we compute the same components by iterated min-label propagation over the
 pairwise-distance graph with pointer jumping (label doubling): each sweep a
 point adopts the smallest label among its tolerance neighbors, then labels are
-compressed through themselves twice, giving exponential reach per sweep.  For
-the reference's point budget (<=5000 after voxel filtering,
-``map_sim_example.cpp:48``) the distance rows are produced in chunks on the
-MXU via the Gram-matrix identity; nothing is materialized at P^2 except one
-boolean row block.
+compressed through themselves twice, giving exponential reach per sweep.  The
+adjacency matrix is position-only, so it is materialized ONCE (d^2 through the
+Gram identity on the MXU; ~26 MB bool at the reference's 5000-point budget,
+``map_sim_example.cpp:48``) and every sweep is a single masked min-reduce over
+it -- measured 2.5x faster than recomputing distances per sweep inside a
+``lax.scan`` (the sequential-while dispatch overhead dominated, docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def euclidean_cluster(
     valid: jnp.ndarray,  # [P] bool
     tolerance: float,
     iters: int = 16,
-    row_chunk: int = 1024,
+    row_chunk: int = 1024,  # kept for API compatibility; unused
 ) -> jnp.ndarray:
     """Connected components under ``dist <= tolerance``.
 
@@ -35,47 +36,34 @@ def euclidean_cluster(
     (dsp_dynamic.h:1406-1417).
     """
     P = points.shape[0]
-    pad = (-P) % row_chunk
+    pad = (-P) % 128
     if pad:
         points = jnp.pad(points, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
     n = points.shape[0]
-    n_chunks = n // row_chunk
 
     sq_norm = jnp.sum(points * points, axis=-1)  # [n]
     tol2 = jnp.float32(tolerance * tolerance)
     sentinel = jnp.int32(n)
-    labels0 = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), sentinel)
+    labels = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), sentinel)
 
-    chunk_pts = points.reshape(n_chunks, row_chunk, 3)
-    chunk_norm = sq_norm.reshape(n_chunks, row_chunk)
-    chunk_valid = valid.reshape(n_chunks, row_chunk)
+    d2 = (
+        sq_norm[:, None]
+        + sq_norm[None, :]
+        - 2.0
+        * jnp.einsum("bi,ni->bn", points, points,
+                     preferred_element_type=jnp.float32)
+    )
+    adj = (d2 <= tol2) & valid[:, None] & valid[None, :]  # [n, n], once
 
-    def sweep(labels, _):
-        def min_neighbor_label(args):
-            pts_c, norm_c, valid_c = args
-            d2 = (
-                norm_c[:, None]
-                + sq_norm[None, :]
-                - 2.0
-                * jnp.einsum(
-                    "bi,ni->bn", pts_c, points, preferred_element_type=jnp.float32
-                )
-            )
-            adj = (d2 <= tol2) & valid_c[:, None] & valid[None, :]
-            return jnp.min(jnp.where(adj, labels[None, :], sentinel), axis=1)
-
-        new = jax.lax.map(
-            min_neighbor_label, (chunk_pts, chunk_norm, chunk_valid)
-        ).reshape(n)
+    for _ in range(iters):
+        new = jnp.min(jnp.where(adj, labels[None, :], sentinel), axis=1)
         new = jnp.minimum(labels, new)
         # pointer jumping: compress through the representative twice
         ext = jnp.append(new, sentinel)
         new = jnp.minimum(new, ext[jnp.minimum(new, n)])
         ext = jnp.append(new, sentinel)
-        new = jnp.minimum(new, ext[jnp.minimum(new, n)])
-        return new, None
+        labels = jnp.minimum(new, ext[jnp.minimum(new, n)])
 
-    labels, _ = jax.lax.scan(sweep, labels0, None, length=iters)
     labels = labels[:P]
     return jnp.where(valid[:P], labels, jnp.int32(P))

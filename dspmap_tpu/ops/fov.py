@@ -8,11 +8,15 @@ velocity perturbation (``moveParticle``, ``include/dsp_dynamic.h:1232-1271``).
 Here the table is recomputed per frame as dense gather tensors: in-FOV
 particles are compacted AND pyramid-sorted in one stable sort keyed by
 (in-FOV?, pyramid); rank overflow beyond the per-cell capacity kills the
-particle (the pyramid-full vanish path, ``dsp_dynamic.h:1256-1259``).  The
-dense ``[n_pyramids, pyramid_slots]`` layout is exactly what the measurement
-update's matmul kernel consumes.  All binned-tensor scatters use unique
-indices (vectorized on TPU); all geometry runs on coordinate planes (no
-``[..., 3]`` stacking).
+particle (the pyramid-full vanish path, ``dsp_dynamic.h:1256-1259``).
+Particles ranked below the dense processing tier (``cfg.dense_slots``) land
+in the dense ``[n_pyramids, dense_slots]`` tiles the measurement update's
+matmul kernel consumes; ranks between the tier and the reference's kill
+threshold (``cfg.pyramid_slots``) are compacted into a small *spill* buffer
+the update processes exactly (see ops/update.py) -- a processing layout, not
+a semantics change.  All binned-tensor scatters use unique indices
+(vectorized on TPU); all geometry runs on coordinate planes (no ``[..., 3]``
+stacking).
 
 Quirk preserved (``dsp_dynamic.h:1261-1269``): surviving in-FOV particles
 with ``|vx*vy*vz| >= 1e-6`` get extra vx/vy noise and vz hard-zeroed -- the
@@ -32,17 +36,108 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_and_group
+from .common import compact_and_group, compact_mask
 
 
 class FovBinning(NamedTuple):
-    """Dense pyramid-binned view of the in-FOV particle population."""
+    """Dense + spill pyramid-binned view of the in-FOV particle population."""
 
-    pos: jnp.ndarray  # f32 [n_pyr, S_pyr, 3] world positions
-    weight: jnp.ndarray  # f32 [n_pyr, S_pyr]
-    rng: jnp.ndarray  # f32 [n_pyr, S_pyr] ego range (occlusion test)
-    mask: jnp.ndarray  # bool [n_pyr, S_pyr]
-    slot: jnp.ndarray  # i32 [n_pyr, S_pyr] flat index into the [S, V] pool
+    pos: jnp.ndarray  # f32 [n_pyr, S_t, 3] world positions (dense tier)
+    weight: jnp.ndarray  # f32 [n_pyr, S_t]
+    rng: jnp.ndarray  # f32 [n_pyr, S_t] ego range (occlusion test)
+    mask: jnp.ndarray  # bool [n_pyr, S_t]
+    slot: jnp.ndarray  # i32 [n_pyr, S_t] flat index into the [S, V] pool
+    sp_pos: jnp.ndarray  # f32 [Psp, 3] spill tier (rank in [S_t, pyramid_slots))
+    sp_weight: jnp.ndarray  # f32 [Psp]
+    sp_rng: jnp.ndarray  # f32 [Psp]
+    sp_pyr: jnp.ndarray  # i32 [Psp] pyramid cell (n_pyr sentinel)
+    sp_mask: jnp.ndarray  # bool [Psp]
+    sp_slot: jnp.ndarray  # i32 [Psp] flat pool index
+    sp_overflow: jnp.ndarray  # i32 scalar: spill particles beyond capacity
+
+
+def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
+                    ranks, sel_valid, n_fov):
+    """Shared two-tier binning: dense scatter + spill compaction + overflow
+    kill flags, from the compacted (pyramid-sorted) candidate buffers."""
+    S, V = particles.flags.shape
+    n_pyr, s_pyr, S_t = cfg.n_pyramids, cfg.pyramid_slots, cfg.dense_slots
+    f_cap, p_cap = cfg.fov_buffer_capacity, cfg.particle_spill_capacity
+    grid_cap = n_pyr * S_t
+
+    keep = sel_valid & (ranks < S_t)
+    spill_sel = sel_valid & (ranks >= S_t) & (ranks < s_pyr)
+    kill = sel_valid & (ranks >= s_pyr)  # pyramid-cell overflow -> vanish
+
+    # Kill overflow particles (dsp_dynamic.h:1256-1259).
+    flags = particles.flags.ravel().at[jnp.where(kill, idx, S * V)].set(
+        jnp.uint8(0), mode="drop"
+    ).reshape(S, V)
+
+    px = particles.px.ravel()[idx]
+    py = particles.py.ravel()[idx]
+    pz = particles.pz.ravel()[idx]
+    w = particles.weight.ravel()[idx]
+    rng_c = jnp.sqrt(
+        (px - sensor_pos[0]) ** 2
+        + (py - sensor_pos[1]) ** 2
+        + (pz - sensor_pos[2]) ** 2
+    )
+
+    # Dense binned tensors: all scatters hit unique (pyramid, rank) cells.
+    cell = jnp.where(keep, cand_pyr * S_t + ranks, grid_cap)
+
+    def scat(vals, fill=0.0):
+        return (
+            jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
+            .at[cell]
+            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
+        )
+
+    bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, S_t, 3)
+    bw = scat(w).reshape(n_pyr, S_t)
+    brng = scat(rng_c).reshape(n_pyr, S_t)
+    bmask = scat(keep).reshape(n_pyr, S_t)
+    bslot = (
+        jnp.full((grid_cap + 1,), S * V, jnp.int32)
+        .at[cell]
+        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
+        .reshape(n_pyr, S_t)
+    )
+
+    # Spill tier: ranks in [S_t, s_pyr) -- compacted, exact-path processed.
+    if S_t < s_pyr:
+        sp_i, sp_valid, _, sp_over = compact_mask(spill_sel, p_cap)
+        sp_pos = jnp.where(
+            sp_valid[:, None],
+            jnp.stack([px[sp_i], py[sp_i], pz[sp_i]], axis=-1),
+            0.0,
+        )
+        sp_w = jnp.where(sp_valid, w[sp_i], 0.0)
+        sp_rng = jnp.where(sp_valid, rng_c[sp_i], 0.0)
+        sp_pyr = jnp.where(sp_valid, cand_pyr[sp_i], n_pyr)
+        sp_slot = jnp.where(sp_valid, idx[sp_i], S * V)
+    else:
+        sp_pos = jnp.zeros((p_cap, 3), jnp.float32)
+        sp_w = jnp.zeros((p_cap,), jnp.float32)
+        sp_rng = jnp.zeros((p_cap,), jnp.float32)
+        sp_pyr = jnp.full((p_cap,), n_pyr, jnp.int32)
+        sp_valid = jnp.zeros((p_cap,), bool)
+        sp_slot = jnp.full((p_cap,), S * V, jnp.int32)
+        sp_over = jnp.int32(0)
+
+    fovbin = FovBinning(
+        pos=bpos, weight=bw, rng=brng, mask=bmask, slot=bslot,
+        sp_pos=sp_pos, sp_weight=sp_w, sp_rng=sp_rng, sp_pyr=sp_pyr,
+        sp_mask=sp_valid, sp_slot=sp_slot, sp_overflow=sp_over,
+    )
+    stats = {
+        "in_fov": jnp.minimum(n_fov, f_cap),
+        "pyramid_full_killed": jnp.sum(kill),
+        "fov_global_overflow": jnp.maximum(n_fov - f_cap, 0),
+        "update_spill_overflow": sp_over,
+    }
+    return flags, fovbin, stats
 
 
 def register_fov(
@@ -57,10 +152,8 @@ def register_fov(
     ``new_particles`` reflects pyramid-overflow kills and the in-FOV velocity
     perturbation; the binning indexes into ``new_particles``.
     """
-    S, V = particles.flags.shape
-    n_pyr, s_pyr = cfg.n_pyramids, cfg.pyramid_slots
+    n_pyr = cfg.n_pyramids
     f_cap = cfg.fov_buffer_capacity
-    grid_cap = n_pyr * s_pyr
 
     # Sensor-frame coordinates of every slot, on planes.
     Rm = geometry.rotation_matrix(geometry.quaternion_conjugate(quat))
@@ -75,19 +168,15 @@ def register_fov(
     idx, cand_pyr, ranks, sel_valid, n_fov = compact_and_group(
         fov_mask, pyr, f_cap, n_pyr
     )
-    keep = sel_valid & (ranks < s_pyr)
-    kill = sel_valid & ~keep  # pyramid-cell overflow -> vanish
 
-    # Kill overflow particles (dsp_dynamic.h:1256-1259).
-    flags = particles.flags.ravel().at[jnp.where(kill, idx, S * V)].set(
-        jnp.uint8(0), mode="drop"
-    ).reshape(S, V)
+    flags, fovbin, stats = _bin_candidates(
+        particles, cfg, sensor_pos, idx, cand_pyr, ranks, sel_valid, n_fov
+    )
 
     # Extra in-FOV velocity noise on survivors (dsp_dynamic.h:1261-1269);
     # statically dead under xy-limited configs (vz == 0 for all particles).
     if cfg.limit_motion_to_xy_plane or cfg.motion_model == "static":
         vx, vy, vz = particles.vx, particles.vy, particles.vz
-        alive_extra = None
     else:
         alive_fov = fov_mask & (flags != 0)
         noise = (
@@ -99,46 +188,9 @@ def register_fov(
         vx = jnp.where(jitter, particles.vx + noise[0], particles.vx)
         vy = jnp.where(jitter, particles.vy + noise[1], particles.vy)
         vz = jnp.where(jitter, 0.0, particles.vz)
-        alive_extra = jitter
 
     new_particles = dataclasses.replace(particles, flags=flags, vx=vx, vy=vy, vz=vz)
-
-    # Dense binned tensors: all scatters hit unique (pyramid, rank) cells.
-    cell = jnp.where(keep, cand_pyr * s_pyr + ranks, grid_cap)
-    px = particles.px.ravel()[idx]
-    py = particles.py.ravel()[idx]
-    pz = particles.pz.ravel()[idx]
-    w = new_particles.weight.ravel()[idx]
-    rng_c = jnp.sqrt(
-        (px - sensor_pos[0]) ** 2
-        + (py - sensor_pos[1]) ** 2
-        + (pz - sensor_pos[2]) ** 2
-    )
-
-    def scat(vals, fill=0.0):
-        return (
-            jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
-            .at[cell]
-            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
-        )
-
-    bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, s_pyr, 3)
-    bw = scat(w).reshape(n_pyr, s_pyr)
-    brng = scat(rng_c).reshape(n_pyr, s_pyr)
-    bmask = scat(keep).reshape(n_pyr, s_pyr)
-    bslot = (
-        jnp.full((grid_cap + 1,), S * V, jnp.int32)
-        .at[cell]
-        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
-        .reshape(n_pyr, s_pyr)
-    )
-
-    stats = {
-        "in_fov": jnp.minimum(n_fov, f_cap),
-        "pyramid_full_killed": jnp.sum(kill),
-        "fov_global_overflow": jnp.maximum(n_fov - f_cap, 0),
-    }
-    return new_particles, FovBinning(bpos, bw, brng, bmask, bslot), stats
+    return new_particles, fovbin, stats
 
 
 def register_fov_masked(
@@ -152,56 +204,17 @@ def register_fov_masked(
     """:func:`register_fov` with the per-slot pyramid geometry precomputed by
     the fused sweep (limit-xy / static configurations: the in-FOV velocity
     perturbation is statically dead, see module docstring)."""
-    S, V = particles.flags.shape
-    n_pyr, s_pyr = cfg.n_pyramids, cfg.pyramid_slots
+    n_pyr = cfg.n_pyramids
     f_cap = cfg.fov_buffer_capacity
-    grid_cap = n_pyr * s_pyr
 
     fov_mask = fov_plane & particles.valid
 
     idx, cand_pyr, ranks, sel_valid, n_fov = compact_and_group(
         fov_mask, pyr_plane, f_cap, n_pyr
     )
-    keep = sel_valid & (ranks < s_pyr)
-    kill = sel_valid & ~keep
 
-    flags = particles.flags.ravel().at[jnp.where(kill, idx, S * V)].set(
-        jnp.uint8(0), mode="drop"
-    ).reshape(S, V)
+    flags, fovbin, stats = _bin_candidates(
+        particles, cfg, sensor_pos, idx, cand_pyr, ranks, sel_valid, n_fov
+    )
     new_particles = dataclasses.replace(particles, flags=flags)
-
-    cell = jnp.where(keep, cand_pyr * s_pyr + ranks, grid_cap)
-    px = particles.px.ravel()[idx]
-    py = particles.py.ravel()[idx]
-    pz = particles.pz.ravel()[idx]
-    w = particles.weight.ravel()[idx]
-    rng_c = jnp.sqrt(
-        (px - sensor_pos[0]) ** 2
-        + (py - sensor_pos[1]) ** 2
-        + (pz - sensor_pos[2]) ** 2
-    )
-
-    def scat(vals, fill=0.0):
-        return (
-            jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
-            .at[cell]
-            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
-        )
-
-    bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, s_pyr, 3)
-    bw = scat(w).reshape(n_pyr, s_pyr)
-    brng = scat(rng_c).reshape(n_pyr, s_pyr)
-    bmask = scat(keep).reshape(n_pyr, s_pyr)
-    bslot = (
-        jnp.full((grid_cap + 1,), S * V, jnp.int32)
-        .at[cell]
-        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
-        .reshape(n_pyr, s_pyr)
-    )
-
-    stats = {
-        "in_fov": jnp.minimum(n_fov, f_cap),
-        "pyramid_full_killed": jnp.sum(kill),
-        "fov_global_overflow": jnp.maximum(n_fov - f_cap, 0),
-    }
-    return new_particles, FovBinning(bpos, bw, brng, bmask, bslot), stats
+    return new_particles, fovbin, stats

@@ -7,23 +7,147 @@ Semantics preserved: each voxel has a fixed slot capacity; candidates fill the
 first free slots in arrival order; when a voxel is full the surplus candidates
 silently vanish (drop-on-full, ``dsp_dynamic.h:1198-1200,1227-1229``).
 
-Mechanism (third iteration, tuned to measured TPU costs): a batched tiny sort
-along the slot axis yields, per voxel, its empty slot ids in order; candidate
-rank r in voxel v maps straight to final slot ``empty_order[r, v]``, so the
-payload scatters *directly* into the pool with unique indices (vectorized,
-~0.3 ms per field at 131k candidates) -- no staging plane, no select sweep,
-no multi-million-element gathers.
+Mechanism (fourth iteration, tuned to measured TPU costs):
+
+* free slots are found through a **bitmask rank lookup**: one pool pass packs
+  per-voxel occupancy into u32 words, candidates gather their voxel's word(s)
+  and select their rank-th empty slot with an S-step bit sweep -- replacing
+  the earlier [S, V] slot-axis sort (~1 ms/frame at two insertions).
+* candidate *ranks* come from a destination argsort, but the payload is
+  never permuted: the sorted ranks scatter back to the original candidate
+  order (one [M] scatter) and all field scatters read the caller's original
+  arrays -- the 100k x 7 payload gather this replaces cost ~2 ms/frame.
+* XLA TPU scatters serialize over every index row including dropped
+  sentinels (~3 ns/row/field, docs/PERF.md), so ``compact_to`` switches on a
+  ``lax.cond`` bucket specialization: when the surviving candidates fit the
+  budget they are compacted and scattered from the small buffer; otherwise
+  the full-capacity scatter runs -- exact either way, the branch only picks
+  the cheaper program.  Used by particle birth, whose 100k-candidate budget
+  (5000 pts x 20, dsp_dynamic.h:68) is ~5-10x the steady-state insertion
+  count (voxel capacity truncates the rest); only burst frames (e.g. the
+  first) take the full path.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import sort_by_destination
+from .common import compact_mask, sort_by_destination
+
+
+def empty_slot_lookup(flags, cell, ranks):
+    """Per candidate, the id of the ``ranks``-th empty slot of voxel ``cell``.
+
+    ``flags [S, V]``; ``cell``/``ranks`` ``[M]`` (cell must be in range).
+    Returns ``(slot [M], n_empty [M])`` with ``slot = S`` when
+    ``ranks >= n_empty``.  One pool pass packs the occupancy bitmask; the
+    rank selection is an S-step select sweep over the gathered words.
+    """
+    S, V = flags.shape
+    occupied = flags != 0
+    words = []
+    for w in range((S + 31) // 32):
+        lo, hi = w * 32, min((w + 1) * 32, S)
+        weights = (jnp.uint32(1) << jnp.arange(hi - lo, dtype=jnp.uint32))
+        words.append(
+            jnp.sum(
+                jnp.where(occupied[lo:hi], weights[:, None], jnp.uint32(0)),
+                axis=0,
+                dtype=jnp.uint32,
+            )
+        )
+    cand_words = [w[cell] for w in words]  # [M] gathers
+
+    prefix = jnp.zeros_like(ranks)
+    slot = jnp.full_like(ranks, S)
+    for b in range(S):
+        bit = ((cand_words[b // 32] >> jnp.uint32(b % 32)) & 1).astype(
+            ranks.dtype
+        ) ^ 1  # 1 = empty
+        hit = (bit == 1) & (prefix == ranks)
+        slot = jnp.where(hit, b, slot)
+        prefix = prefix + bit
+    return slot, prefix  # prefix = per-voxel empty count after full sweep
+
+
+def allocate_slots(particles, cell, ranks, valid):
+    """Final flat pool position per candidate (``S*V`` sentinel when the
+    voxel is full or the candidate invalid).  Returns ``(flat, keep)``."""
+    S, V = particles.flags.shape
+    in_bounds = valid & (cell < V)
+    safe_cell = jnp.clip(cell, 0, V - 1)
+    slot, n_empty = empty_slot_lookup(particles.flags, safe_cell, ranks)
+    keep = in_bounds & (ranks < n_empty)
+    flat = jnp.where(keep, slot * V + safe_cell, S * V)
+    return flat, keep
+
+
+def scatter_candidates(
+    particles, flat, payload_cols, flag, t, compact_to: int | None = None
+):
+    """Write candidate payloads at their allocated flat positions.
+
+    ``payload_cols`` is a tuple ``(px, py, pz, vx, vy, vz, weight)`` of [M]
+    arrays in the caller's candidate order (never permuted here).
+    """
+    S, V = particles.flags.shape
+    keep = flat < S * V
+
+    def scatter_all(particles, s_flat, cols):
+        def scat(field, vals):
+            return (
+                field.ravel()
+                .at[s_flat]
+                .set(vals, mode="drop", unique_indices=True)
+                .reshape(S, V)
+            )
+
+        flags = (
+            particles.flags.ravel()
+            .at[s_flat]
+            .set(jnp.uint8(flag), mode="drop", unique_indices=True)
+            .reshape(S, V)
+        )
+        tt = (
+            particles.t.ravel()
+            .at[s_flat]
+            .set(jnp.float32(t), mode="drop", unique_indices=True)
+            .reshape(S, V)
+        )
+        return dataclasses.replace(
+            particles,
+            flags=flags,
+            px=scat(particles.px, cols[0]),
+            py=scat(particles.py, cols[1]),
+            pz=scat(particles.pz, cols[2]),
+            vx=scat(particles.vx, cols[3]),
+            vy=scat(particles.vy, cols[4]),
+            vz=scat(particles.vz, cols[5]),
+            weight=scat(particles.weight, cols[6]),
+            t=tt,
+        )
+
+    if compact_to is not None and compact_to < flat.shape[0]:
+        # Bucket specialization: compacted scatter when survivors fit the
+        # budget (steady state), full scatter otherwise (burst frames).
+        c_idx, c_valid, _, n_over = compact_mask(keep, compact_to)
+
+        def small(particles):
+            s_flat = jnp.where(c_valid, flat[c_idx], S * V)
+            return scatter_all(
+                particles, s_flat, tuple(c[c_idx] for c in payload_cols)
+            )
+
+        def big(particles):
+            return scatter_all(particles, flat, payload_cols)
+
+        return jax.lax.cond(n_over == 0, small, big, particles)
+    return scatter_all(particles, flat, payload_cols)
 
 
 def insert_sorted(
@@ -36,66 +160,17 @@ def insert_sorted(
     valid: jnp.ndarray,  # [M]
     flag,
     t,
+    compact_to: int | None = None,
 ):
-    """Insert destination-sorted candidates.  Returns the new pool."""
-    S, V = particles.flags.shape
+    """Insert destination-sorted candidates.
 
-    is_occupied = particles.flags != 0  # [S, V]
-    empty_count = S - jnp.sum(is_occupied, axis=0).astype(jnp.int32)  # [V]
-
-    in_bounds = valid & (cell < V)
-    safe_cell = jnp.clip(cell, 0, V - 1)
-    keep = in_bounds & (ranks < empty_count[safe_cell])
-
-    # Per-voxel empty slots in slot order: stable tiny sort along the slot
-    # axis (occupied slots sink); empty_order[r, v] = id of the r-th empty.
-    slot_ids = jnp.broadcast_to(
-        jnp.arange(S, dtype=jnp.int32)[:, None], (S, V)
-    )
-    empty_order = jnp.sort(
-        jnp.where(is_occupied, slot_ids + S, slot_ids), axis=0
-    ) % S  # occupied entries pushed past S, then wrapped (masked by `keep`)
-
-    # Final flat position of each kept candidate.
-    slot = empty_order[
-        jnp.minimum(ranks, S - 1), safe_cell
-    ]  # [M] gather (small)
-    flat = jnp.where(keep, slot * V + safe_cell, S * V)
-
-    def scat(field, col):
-        return (
-            field.ravel()
-            .at[flat]
-            .set(payload[:, col], mode="drop", unique_indices=True)
-            .reshape(S, V)
-        )
-
-    flags = (
-        particles.flags.ravel()
-        .at[flat]
-        .set(jnp.uint8(flag), mode="drop", unique_indices=True)
-        .reshape(S, V)
-    )
-    tt = (
-        particles.t.ravel()
-        .at[flat]
-        .set(jnp.float32(t), mode="drop", unique_indices=True)
-        .reshape(S, V)
-    )
-    new = dataclasses.replace(
-        particles,
-        flags=flags,
-        px=scat(particles.px, 0),
-        py=scat(particles.py, 1),
-        pz=scat(particles.pz, 2),
-        vx=scat(particles.vx, 3),
-        vy=scat(particles.vy, 4),
-        vz=scat(particles.vz, 5),
-        weight=scat(particles.weight, 6),
-        t=tt,
-    )
-    # placement info: final flat slot (= S*V sentinel for dropped) per
-    # destination-sorted candidate
+    Returns ``(new_pool, flat, keep)`` where ``flat`` is each candidate's
+    final flat pool position (``S*V`` sentinel when dropped) and ``keep``
+    the insertion mask.
+    """
+    flat, keep = allocate_slots(particles, cell, ranks, valid)
+    cols = tuple(payload[:, i] for i in range(7))
+    new = scatter_candidates(particles, flat, cols, flag, t, compact_to)
     return new, flat, keep
 
 
@@ -110,28 +185,30 @@ def insert_particles(
     origin: jnp.ndarray,  # [3] window origin (world-voxel coords)
     flag,
     t,
+    compact_to: int | None = None,
 ):
-    """Insert unsorted candidates (sorts by destination internally).
+    """Insert unsorted candidates: ranks via a destination argsort whose
+    output is scattered back to candidate order, so payloads never move
+    until the final pool scatter.
 
     Candidates outside the map window are dropped (the reference's
     ``getParticleVoxelsIndex`` failure path, dsp_dynamic.h:875,1062-1074).
     """
+    M = pos.shape[0]
     wv = geometry.world_voxel(pos, cfg)
     inside = geometry.in_window(wv, origin, cfg)
     valid = valid & inside
     dest = geometry.storage_index(wv, cfg)
 
-    order, sorted_dest, ranks = sort_by_destination(dest, valid)
-    payload = jnp.concatenate([pos, vel, weight[:, None]], axis=-1)[order]
-    V = particles.flags.shape[1]
-    new, _, _ = insert_sorted(
-        particles,
-        cfg,
-        cell=jnp.minimum(sorted_dest, V),
-        ranks=ranks,
-        payload=payload,
-        valid=sorted_dest < V,
-        flag=flag,
-        t=t,
+    order, sorted_dest, ranks_sorted = sort_by_destination(dest, valid)
+    ranks = (
+        jnp.zeros((M,), jnp.int32).at[order].set(ranks_sorted,
+                                                 unique_indices=True)
     )
-    return new
+    flat, keep = allocate_slots(
+        particles, jnp.where(valid, dest, particles.flags.shape[1]),
+        ranks, valid,
+    )
+    cols = (pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
+            weight)
+    return scatter_candidates(particles, flat, cols, flag, t, compact_to)

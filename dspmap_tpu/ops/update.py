@@ -21,13 +21,29 @@ factor (``dsp_dynamic.h:1294-1301``).  Two are consciously dropped (both are
 O(1e-21) effects): the table's 0.001-sigma quantization and the +-9.9-sigma
 clamp -- we evaluate the exponential exactly.
 
-TPU formulation: the particle-measurement coupling over the (2N+1)^2 pyramid
-neighborhood becomes dense tiles.  Per pyramid tile, the pair term
-``|x - z|^2 = |x|^2 + |z|^2 - 2 x.z`` puts the inner product on the MXU as a
-batched ``[S_pyr, 3] @ [3, C*K]`` matmul; neighborhoods are 9 (or 25) shifted
-copies of the ``[H, W, K]`` observation grid, and the pass-1 reduction
-scatters back through the inverse shifts.  Work is chunked over pyramids with
-``lax.map`` to bound the materialized pair tensor.
+TPU formulation -- **two-tier on both axes**.  The reference's per-pyramid
+capacities (462 particle slots, 100 obs points) are safety thresholds;
+realized per-cell occupancy peaks ~20x lower (tools/occupancy_stats.py), so
+dense tiles at full capacity would waste ~20x the pair work.  Each axis is
+split at a dense-tier rank (``cfg.dense_slots`` / ``cfg.obs_dense``):
+
+* dense x dense: per pyramid tile, the pair term
+  ``|x - z|^2 = |x|^2 + |z|^2 - 2 x.z`` over the (2N+1)^2-cell neighborhood
+  as shifted copies of the ``[H, W, Ko]`` observation grid -- batched
+  matmuls on the MXU, chunked with ``lax.map`` only when the pair tensor
+  would not fit comfortably;
+* spill particles (rank >= dense tier, below the reference kill threshold)
+  evaluate against their own cell's gathered neighborhood row and are
+  reduced into the C grid by a one-hot matmul (vectorized; a scatter here
+  would serialize);
+* spill observations gather their neighborhood's dense particle tiles
+  (contiguous row gathers) and push pass-2 contributions back into the
+  dense factor tiles by one-hot matmul;
+* spill x spill couples through a single adjacency-masked cross block.
+
+All four blocks compute the identical g-sums -- the tiers are a processing
+layout, not an approximation; ``tests/test_ops.py`` asserts tier-invariance
+against a full-capacity single-tier configuration.
 """
 
 from __future__ import annotations
@@ -88,7 +104,23 @@ def scatter_neighbor_sum(contrib: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     return total.reshape(H * W, K)
 
 
-def _chunk(n_pyr: int, s_pyr: int, ck: int, budget_floats: int = 52_000_000) -> int:
+def neighbor_cells(pyr: jnp.ndarray, cfg: MapConfig):
+    """``[M]`` pyramid ids -> ``([M, C] neighbor cell ids, [M, C] valid)``,
+    grid-clipped exactly like :func:`gather_neighbors`."""
+    W = cfg.n_pyramids_v
+    H = cfg.n_pyramids_h
+    offs = _neighbor_offsets(cfg)
+    dh = jnp.asarray([o[0] for o in offs], jnp.int32)
+    dv = jnp.asarray([o[1] for o in offs], jnp.int32)
+    h = pyr // W
+    v = pyr % W
+    nh = h[:, None] + dh[None, :]
+    nv = v[:, None] + dv[None, :]
+    ok = (nh >= 0) & (nh < H) & (nv >= 0) & (nv < W)
+    return jnp.where(ok, nh * W + nv, 0), ok
+
+
+def _chunk(n_pyr: int, s_pyr: int, ck: int, budget_floats: int = 34_000_000) -> int:
     """Largest divisor of n_pyr whose pair tile fits the float budget."""
     target = max(1, budget_floats // max(s_pyr * ck, 1))
     best = 1
@@ -118,43 +150,107 @@ def measurement_update(
     expected_newborn: jnp.ndarray,
     update_time: jnp.ndarray,
 ):
-    """Returns ``(new_particles, C[n_pyr, K], stats)``.
+    """Returns ``(new_particles, norm_coeff, stats)``.
 
-    ``C`` (the per-measurement clutter-plus-likelihood normalizer, stored by
-    the reference inside ``point_cloud[i][j][3]``) feeds the birth step's
-    normalization sum (``dsp_dynamic.h:798-805``).
+    ``norm_coeff = sum_z 1/C(z)`` over every binned measurement (both
+    tiers) -- the particle-birth normalizer (``dsp_dynamic.h:798-805``; the
+    reference stores C inside ``point_cloud[i][j][3]`` and sums its
+    reciprocals at birth time).
     """
     S, V = particles.flags.shape
-    n_pyr, K = cfg.n_pyramids, cfg.max_obs_points_per_pyramid
-    s_pyr = cfg.pyramid_slots
-    ck = cfg.neighbor_cells * K
-    chunk = _chunk(n_pyr, s_pyr, ck)
+    n_pyr, Ko = cfg.n_pyramids, cfg.obs_dense
+    S_t = cfg.dense_slots
+    C = cfg.neighbor_cells
+    ck = C * Ko
+    chunk = _chunk(n_pyr, S_t, ck)
     n_chunks = n_pyr // chunk
+    e_birth = expected_newborn + cfg.kappa
 
     nbr_pts = gather_neighbors(obs.points, cfg, 0.0)  # [n_pyr, CK, 3]
     nbr_mask = gather_neighbors(obs.mask, cfg, False)  # [n_pyr, CK]
 
-    pw = fovbin.weight * fovbin.mask  # masked particle weights
+    pw = fovbin.weight * fovbin.mask  # masked dense particle weights
+    sp_w = fovbin.sp_weight * fovbin.sp_mask  # [Psp]
+    sp_pyr_safe = jnp.minimum(fovbin.sp_pyr, n_pyr - 1)
+    y_cell_safe = jnp.minimum(obs.spill_cells, n_pyr - 1)
+
+    have_psp = cfg.dense_slots < cfg.pyramid_slots
+    have_osp = cfg.obs_dense < cfg.max_obs_points_per_pyramid
+
+    # ---- shared pair blocks (computed once, used by both passes) -------
+    # B2: spill particles x dense-obs neighborhoods  [Psp, CK]
+    if have_psp:
+        g_pz = _pair_g(
+            fovbin.sp_pos[:, None, :], nbr_pts[sp_pyr_safe], cfg.sigma_ob
+        )[:, 0, :]  # [Psp, CK]
+    # B3: spilled obs cells x their neighborhoods' dense particles
+    if have_osp:
+        Yc, Ks = obs.spill_pts_mask.shape
+        y_nbr, y_ok = neighbor_cells(y_cell_safe, cfg)  # [Yc, C]
+        d_pos = fovbin.pos[y_nbr]  # [Yc, C, S_t, 3] (row gathers)
+        d_w = pw[y_nbr] * y_ok[:, :, None]  # [Yc, C, S_t]
+        g_dy = _pair_g(
+            d_pos.reshape(Yc, C * S_t, 3), obs.spill_pts, cfg.sigma_ob
+        )  # [Yc, C*S_t, Ks]
+    # B4: spill particles x spill-cell points, adjacency-masked  [Psp, Yc*Ks]
+    if have_psp and have_osp:
+        W_ = cfg.n_pyramids_v
+        n_r = cfg.pyramid_neighbor_radius
+        dh = sp_pyr_safe[:, None] // W_ - y_cell_safe[None, :] // W_
+        dv = sp_pyr_safe[:, None] % W_ - y_cell_safe[None, :] % W_
+        adj = (
+            (jnp.abs(dh) <= n_r)
+            & (jnp.abs(dv) <= n_r)
+            & fovbin.sp_mask[:, None]
+            & obs.spill_cell_mask[None, :]
+        )  # [Psp, Yc]
+        g_py = _pair_g(
+            fovbin.sp_pos[None], obs.spill_pts.reshape(1, Yc * Ks, 3),
+            cfg.sigma_ob,
+        )[0] * jnp.repeat(adj, Ks, axis=1)  # [Psp, Yc*Ks]
 
     # ---- pass 1: C(z) --------------------------------------------------
     def pass1(args):
         ppos, w, pts = args
         g = _pair_g(ppos, pts, cfg.sigma_ob)  # [B, S, CK]
-        return jnp.einsum(
-            "bsm,bs->bm", g, w, preferred_element_type=jnp.float32
-        )
+        return jnp.einsum("bsm,bs->bm", g, w, preferred_element_type=jnp.float32)
 
-    c_part = jax.lax.map(
-        pass1,
-        (
-            fovbin.pos.reshape(n_chunks, chunk, s_pyr, 3),
-            pw.reshape(n_chunks, chunk, s_pyr),
-            nbr_pts.reshape(n_chunks, chunk, ck, 3),
-        ),
-    ).reshape(n_pyr, ck) * cfg.p_detection
+    p1_in = (
+        fovbin.pos.reshape(n_chunks, chunk, S_t, 3),
+        pw.reshape(n_chunks, chunk, S_t),
+        nbr_pts.reshape(n_chunks, chunk, ck, 3),
+    )
+    if n_chunks == 1:
+        c_part = pass1(jax.tree.map(lambda x: x[0], p1_in))[None]
+    else:
+        c_part = jax.lax.map(pass1, p1_in)
+    c_part = c_part.reshape(n_pyr, ck)
 
-    c_grid = scatter_neighbor_sum(c_part, cfg) + (expected_newborn + cfg.kappa)
+    if have_psp:
+        # reduce spill contributions into the same [n_pyr, CK] layout by
+        # source pyramid (one-hot matmul; scatter-add would serialize)
+        onehot_p = (
+            sp_pyr_safe[None, :] == jnp.arange(n_pyr, dtype=jnp.int32)[:, None]
+        ) & fovbin.sp_mask[None, :]
+        c_part = c_part + onehot_p.astype(jnp.float32) @ (sp_w[:, None] * g_pz)
+
+    c_grid = scatter_neighbor_sum(c_part, cfg) * cfg.p_detection + e_birth
     c_grid = jnp.where(obs.mask, c_grid, 1.0)  # masked cells: inert positive
+
+    if have_osp:
+        c_sp = jnp.einsum("ymk,ym->yk", g_dy, d_w.reshape(Yc, C * S_t))
+        if have_psp:
+            c_sp = c_sp + (sp_w @ g_py).reshape(Yc, Ks)
+        c_spill = jnp.where(
+            obs.spill_pts_mask, c_sp * cfg.p_detection + e_birth, 1.0
+        )  # [Yc, Ks]
+
+    # Birth normalizer: sum of reciprocals over every binned measurement.
+    norm_coeff = jnp.sum(jnp.where(obs.mask, 1.0 / c_grid, 0.0))
+    if have_osp:
+        norm_coeff = norm_coeff + jnp.sum(
+            jnp.where(obs.spill_pts_mask, 1.0 / c_spill, 0.0)
+        )
 
     # ---- pass 2: weight factors ---------------------------------------
     nbr_cinv = jnp.where(nbr_mask, 1.0 / gather_neighbors(c_grid, cfg, 1.0), 0.0)
@@ -162,20 +258,38 @@ def measurement_update(
     def pass2(args):
         ppos, pts, cinv = args
         g = _pair_g(ppos, pts, cfg.sigma_ob)
-        return jnp.einsum(
-            "bsm,bm->bs", g, cinv, preferred_element_type=jnp.float32
-        )
+        return jnp.einsum("bsm,bm->bs", g, cinv, preferred_element_type=jnp.float32)
 
-    sum_by_zk = jax.lax.map(
-        pass2,
-        (
-            fovbin.pos.reshape(n_chunks, chunk, s_pyr, 3),
-            nbr_pts.reshape(n_chunks, chunk, ck, 3),
-            nbr_cinv.reshape(n_chunks, chunk, ck),
-        ),
-    ).reshape(n_pyr, s_pyr) * cfg.p_detection
+    p2_in = (
+        fovbin.pos.reshape(n_chunks, chunk, S_t, 3),
+        nbr_pts.reshape(n_chunks, chunk, ck, 3),
+        nbr_cinv.reshape(n_chunks, chunk, ck),
+    )
+    if n_chunks == 1:
+        sum_dense = pass2(jax.tree.map(lambda x: x[0], p2_in))[None]
+    else:
+        sum_dense = jax.lax.map(pass2, p2_in)
+    sum_dense = sum_dense.reshape(n_pyr, S_t)
 
-    factor = (1.0 - cfg.p_detection) + sum_by_zk
+    if have_osp:
+        # spill-obs contributions to the dense factor tiles: reduce
+        # (g/C_y) per (neighbor cell, slot) by a small one-hot matmul
+        y_cinv = jnp.where(obs.spill_pts_mask, 1.0 / c_spill, 0.0)  # [Yc, Ks]
+        contrib = jnp.einsum("ymk,yk->ym", g_dy, y_cinv).reshape(Yc, C, S_t)
+        contrib = (contrib * y_ok[:, :, None]).reshape(Yc * C, S_t)
+        onehot_y = (
+            y_nbr.reshape(-1)[None, :]
+            == jnp.arange(n_pyr, dtype=jnp.int32)[:, None]
+        ) & (y_ok & obs.spill_cell_mask[:, None]).reshape(-1)[None, :]
+        sum_dense = sum_dense + onehot_y.astype(jnp.float32) @ contrib
+
+    factor = (1.0 - cfg.p_detection) + cfg.p_detection * sum_dense
+
+    if have_psp:
+        sum_sp = jnp.einsum("pm,pm->p", g_pz, nbr_cinv[sp_pyr_safe])
+        if have_osp:
+            sum_sp = sum_sp + g_py @ y_cinv.ravel()
+        factor_sp = (1.0 - cfg.p_detection) + cfg.p_detection * sum_sp
 
     # Occlusion: skipped iff the particle's own pyramid has points AND the
     # particle sits beyond their max range + slack (dsp_dynamic.h:759-765).
@@ -188,10 +302,28 @@ def measurement_update(
 
     # ---- write back into the pool -------------------------------------
     slot = jnp.where(updated, fovbin.slot, S * V).ravel()
-    weight = particles.weight.ravel().at[slot].set(new_w.ravel(), mode="drop")
+    vals_w = new_w.ravel()
+    n_updated = jnp.sum(updated)
+    if have_psp:
+        mr_sp = obs.max_range[sp_pyr_safe]
+        occ_sp = (mr_sp > 0.0) & (fovbin.sp_rng > mr_sp + cfg.occlusion_slack)
+        upd_sp = fovbin.sp_mask & ~occ_sp
+        slot = jnp.concatenate(
+            [slot, jnp.where(upd_sp, fovbin.sp_slot, S * V)]
+        )
+        vals_w = jnp.concatenate(
+            [vals_w, jnp.where(upd_sp, fovbin.sp_weight * factor_sp,
+                               fovbin.sp_weight)]
+        )
+        n_updated = n_updated + jnp.sum(upd_sp)
+
+    weight = particles.weight.ravel().at[slot].set(vals_w, mode="drop")
     t = particles.t.ravel().at[slot].set(update_time, mode="drop")
     new_particles = dataclasses.replace(
         particles, weight=weight.reshape(S, V), t=t.reshape(S, V)
     )
-    stats = {"updated_particles": jnp.sum(updated)}
-    return new_particles, c_grid, stats
+    stats = {
+        "updated_particles": n_updated,
+        "obs_spill_overflow": obs.spill_overflow,
+    }
+    return new_particles, norm_coeff, stats

@@ -81,6 +81,82 @@ def test_insert_drops_out_of_window():
     assert int(jnp.sum(p.valid)) == 1
 
 
+def test_update_tier_invariance():
+    """The two-tier measurement update (dense tiles + spill paths) computes
+    the same weights and birth normalizer as a full-capacity single-tier
+    configuration -- the tiers are a processing layout, not an
+    approximation (ops/update.py)."""
+    from dspmap_tpu.ops.project import project_points
+    from dspmap_tpu.ops.fov import register_fov
+    from dspmap_tpu.ops.update import measurement_update
+
+    base = dict(
+        nx=16, ny=16, nz=8, max_input_points=256,
+        pyramid_slot_capacity=64, max_obs_points_per_pyramid=32,
+    )
+    cfg_full = dsp_dynamic(
+        **base, pyramid_dense_slots=64, obs_dense_points=32
+    )
+    cfg_small = dsp_dynamic(
+        **base, pyramid_dense_slots=8, obs_dense_points=4,
+        obs_spill_capacity=64, particle_spill_capacity=2048,
+    )
+    assert cfg_small.dense_slots == 8 and cfg_small.obs_dense == 4
+
+    rng = np.random.default_rng(7)
+    state = init_state(cfg_full, jax.random.key(0))
+    sensor_pos = jnp.zeros(3)
+    quat = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+
+    # clustered particles in front of the sensor (forces dense-tier spill)
+    n_clusters, per = 25, 160
+    centers = np.stack(
+        [
+            rng.uniform(0.6, 1.1, n_clusters),
+            rng.uniform(-0.35, 0.35, n_clusters),
+            rng.uniform(-0.2, 0.2, n_clusters),
+        ],
+        axis=-1,
+    )
+    pos = np.repeat(centers, per, 0) + rng.normal(0, 0.05, (n_clusters * per, 3))
+    w = rng.uniform(0.01, 1.0, n_clusters * per).astype(np.float32)
+    particles = insert_particles(
+        state.particles, cfg_full,
+        pos=jnp.asarray(pos, jnp.float32),
+        vel=jnp.zeros((len(pos), 3)),
+        weight=jnp.asarray(w),
+        valid=jnp.ones((len(pos),), bool),
+        origin=state.origin, flag=jnp.uint8(1), t=0.0,
+    )
+
+    # clustered measurement points (forces obs-tier spill)
+    pts = np.repeat(centers[:16], 16, 0) + rng.normal(0, 0.03, (256, 3))
+    pts = jnp.asarray(pts, jnp.float32)
+    pvalid = jnp.ones((256,), bool)
+
+    results = {}
+    for name, cfg in (("full", cfg_full), ("small", cfg_small)):
+        obs = project_points(pts, pvalid, sensor_pos, quat, cfg)
+        newp, fovbin, _ = register_fov(
+            particles, cfg, sensor_pos, quat, jax.random.key(1)
+        )
+        outp, norm, stats = measurement_update(
+            newp, fovbin, obs, cfg, jnp.float32(0.5), jnp.float32(1.0)
+        )
+        results[name] = (np.asarray(outp.weight), float(norm))
+        if name == "small":
+            # the spill paths must actually be exercised
+            assert int(jnp.sum(fovbin.sp_mask)) > 100
+            assert int(jnp.sum(obs.spill_pts_mask)) > 30
+            assert int(fovbin.sp_overflow) == 0
+            assert int(obs.spill_overflow) == 0
+
+    w_full, n_full = results["full"]
+    w_small, n_small = results["small"]
+    np.testing.assert_allclose(w_small, w_full, rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(n_small, n_full, rtol=1e-4)
+
+
 def _resample_oracle(weights, valid, max_ppv, min_count=5):
     """Direct port of the reference's serial resampling walk for one voxel
     (test oracle of dsp_dynamic.h:986-1055).  Returns final per-slot weights
