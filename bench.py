@@ -1,18 +1,22 @@
-"""Benchmark: map updates/sec of the full-size DSP-Dynamic pipeline on the
-available accelerator (one TPU chip under the driver).
+"""Benchmark: map updates/sec of the DSP-map pipeline on the available
+accelerator (one TPU chip under the driver).
 
-Workload parity with the reference's default dynamic configuration
+Default run measures the flagship DSP-Dynamic configuration
 (`include/dsp_dynamic.h:38-50`: 66x66x40 voxels @ 0.15 m, 3 deg pyramids,
 9 particles/voxel) fed by the synthetic street scene at the reference node's
-input budget (<=5000 points/frame, `src/map_sim_example.cpp:48`).
+input budget (<=5000 points/frame, `src/map_sim_example.cpp:48`), and prints
+ONE JSON line: {"metric", "value", "unit", "vs_baseline", "particles_per_sec"}.
 
-Baseline: the reference's single-core per-frame update time measured by
-compiling its header against the stub toolchain in tools/oracle (the repo
-publishes no numbers, see BASELINE.md).  If `BASELINE_MEASURED.json` is
-missing, a conservative 10 ms/frame (100 updates/sec) placeholder is used and
-flagged in the output.
+``--all`` additionally measures the other BASELINE configs (static,
+multi-neighbor, large_urban) and writes the per-config table to
+BENCH_DETAIL.json (also embedded in the JSON line under "configs").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines: the reference's single-core per-frame update times measured by
+compiling its headers against the stub toolchain in tools/oracle (the repo
+publishes no numbers, see BASELINE.md): BASELINE_MEASURED.json for the
+flagship; static 36.1 ms and multi-neighbor 33.9 ms from the same harness
+(docs/PERF.md).  If `BASELINE_MEASURED.json` is missing, a conservative
+placeholder is used and flagged.
 """
 
 import json
@@ -24,6 +28,9 @@ from pathlib import Path
 
 import numpy as np
 
+#: reference single-core ms/frame per variant (tools/oracle, docs/PERF.md)
+REF_MS = {"static": 36.1, "multi": 33.9}
+
 
 def main() -> None:
     """Wrapper: run the measurement in a child process with a timeout and one
@@ -33,12 +40,13 @@ def main() -> None:
     than hanging the harness."""
     if os.environ.get("DSPMAP_BENCH_CHILD") == "1":
         return _measure()
+    timeout = 3000 if "--all" in sys.argv else 1500
     for attempt in range(2):
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
                 env={**os.environ, "DSPMAP_BENCH_CHILD": "1"},
-                timeout=1500,
+                timeout=timeout,
             )
             if proc.returncode == 0:
                 return
@@ -47,6 +55,29 @@ def main() -> None:
                   f"retrying" if attempt == 0 else "# bench failed twice",
                   file=sys.stderr)
     sys.exit(1)
+
+
+def _bench_config(dm, sim, jax, jnp, cfg, n_warmup=3, n_bench=30, seed=0):
+    state = dm.init_state(cfg, jax.random.key(0))
+    step = jax.jit(dm.make_step(cfg), donate_argnums=0)
+    frames = [
+        dm.Frame(jnp.asarray(p), jnp.int32(n), jnp.asarray(pos),
+                 jnp.asarray(q), jnp.asarray(t))
+        for p, n, pos, q, t in sim.generate_sequence(
+            n_warmup + n_bench, cfg, seed=seed
+        )
+    ]
+    for f in frames[:n_warmup]:
+        state, out = step(state, f)
+    jax.block_until_ready(out)
+    float(jnp.sum(out.weight_sum))  # genuine sync (docs/PERF.md)
+
+    t0 = time.perf_counter()
+    for f in frames[n_warmup:]:
+        state, out = step(state, f)
+    float(jnp.sum(out.weight_sum))
+    dt = time.perf_counter() - t0
+    return n_bench / dt, int(out.metrics["alive"])
 
 
 def _measure() -> None:
@@ -66,31 +97,7 @@ def _measure() -> None:
     from dspmap_tpu.utils import sim
 
     cfg = dm.example_node_settings(dm.dsp_dynamic())
-    state = dm.init_state(cfg, jax.random.key(0))
-    step = jax.jit(dm.make_step(cfg), donate_argnums=0)
-
-    n_warmup, n_bench = 3, 30
-    frames = []
-    for pts, n, pos, quat, t in sim.generate_sequence(
-        n_warmup + n_bench, cfg, seed=0
-    ):
-        frames.append(
-            dm.Frame(
-                jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
-                jnp.asarray(quat), jnp.asarray(t),
-            )
-        )
-
-    for f in frames[:n_warmup]:
-        state, out = step(state, f)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    for f in frames[n_warmup:]:
-        state, out = step(state, f)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    updates_per_sec = n_bench / dt
+    ups, alive = _bench_config(dm, sim, jax, jnp, cfg)
 
     baseline_file = Path(__file__).parent / "BASELINE_MEASURED.json"
     if baseline_file.exists():
@@ -98,17 +105,54 @@ def _measure() -> None:
     else:
         baseline = 100.0  # placeholder: 10 ms/frame single-core estimate
 
-    alive = int(out.metrics["alive"])
     result = {
         "metric": "map_updates_per_sec",
-        "value": round(updates_per_sec, 2),
+        "value": round(ups, 2),
         "unit": "updates/s (66x66x40 @ 0.15m, <=5000 pts/frame)",
-        "vs_baseline": round(updates_per_sec / baseline, 2),
+        "vs_baseline": round(ups / baseline, 2),
+        "particles_per_sec": round(ups * alive),
     }
+
+    if "--all" in sys.argv:
+        detail = {
+            "dynamic": {
+                "updates_per_sec": round(ups, 2),
+                "frame_ms": round(1e3 / ups, 2),
+                "alive": alive,
+                "particles_per_sec": round(ups * alive),
+                "vs_reference_cpu": round(ups / baseline, 2),
+            }
+        }
+        others = {
+            "static": dm.example_node_settings(dm.dsp_static()),
+            "multi": dm.example_node_settings(dm.dsp_dynamic_multi_neighbors()),
+            "large_urban": dm.large_urban(),
+        }
+        for name, c in others.items():
+            u, a = _bench_config(
+                dm, sim, jax, jnp, c,
+                n_bench=10 if name == "large_urban" else 30,
+            )
+            entry = {
+                "updates_per_sec": round(u, 2),
+                "frame_ms": round(1e3 / u, 2),
+                "alive": a,
+                "particles_per_sec": round(u * a),
+            }
+            if name in REF_MS:
+                entry["vs_reference_cpu"] = round(u * REF_MS[name] / 1e3, 2)
+            detail[name] = entry
+            print(f"# {name}: {json.dumps(entry)}", file=sys.stderr)
+        (Path(__file__).parent / "BENCH_DETAIL.json").write_text(
+            json.dumps(detail, indent=1)
+        )
+        result["configs"] = detail
+
+    alive_str = alive
     print(json.dumps(result))
     print(
-        f"# device={jax.devices()[0].device_kind} frame_ms={1e3 / updates_per_sec:.2f} "
-        f"alive_particles={alive} baseline_updates_per_sec={baseline}"
+        f"# device={jax.devices()[0].device_kind} frame_ms={1e3 / ups:.2f} "
+        f"alive_particles={alive_str} baseline_updates_per_sec={baseline}"
         f"{' (placeholder)' if not baseline_file.exists() else ''}",
         file=sys.stderr,
     )

@@ -172,6 +172,11 @@ class MapConfig:
     #: since the remote-compile path for Pallas modules is less reliable on
     #: this environment's tunneled chip.
     use_pallas_sweep: bool = False
+    #: run the occupancy/cull/aggregate/resample pool pass as one Pallas
+    #: mega-kernel (ops/pallas/occupancy.py) instead of ~15 XLA fusions;
+    #: element-exact vs the XLA path (tests/test_pallas.py).  Ignored on
+    #: CPU backends.
+    use_pallas_occupancy: bool = True
     #: global capacity of the in-FOV particle buffer; ``None`` derives
     #: ``min(n_pyramids * pyramid_slots, 2^15)``.  Overflow particles keep
     #: their weight but skip the measurement update that frame (the

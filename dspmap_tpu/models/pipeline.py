@@ -29,9 +29,9 @@ from .. import geometry
 from ..state import MapState
 from ..estimator import estimate_velocities
 from ..ops.propagate import propagate
-from ..ops.rebin import rebin, rebin_masked
+from ..ops.rebin import rebin
 from ..ops.project import project_points
-from ..ops.fov import register_fov, register_fov_masked
+from ..ops.fov import register_fov, rebin_and_register
 from ..ops.update import measurement_update
 from ..ops.birth import particle_birth
 from ..ops.occupancy import occupancy_and_resample
@@ -134,13 +134,12 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 particles = dataclasses.replace(
                     particles, px=sw.px, py=sw.py, pz=sw.pz, flags=sw.flags
                 )
-                particles, pyr_plane, fov_plane, rebin_stats = rebin_masked(
-                    particles, cfg, sw, update_time
+                particles, fovbin, future_movers, fov_stats = (
+                    rebin_and_register(
+                        particles, cfg, sw, frame.sensor_pos, update_time
+                    )
                 )
-                particles, fovbin, fov_stats = register_fov_masked(
-                    particles, cfg, frame.sensor_pos, pyr_plane, fov_plane,
-                    keys[2],
-                )
+                rebin_stats = {}
             else:
                 particles = propagate(state.particles, cfg, keys[1], dt)
                 particles, rebin_stats = rebin(
@@ -149,6 +148,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 particles, fovbin, fov_stats = register_fov(
                     particles, cfg, frame.sensor_pos, frame.quat, keys[2]
                 )
+                future_movers = None
 
             # -- measurement update (dsp_dynamic.h:304,704-793) ---------
             particles, norm_coeff, upd_stats = measurement_update(
@@ -171,7 +171,9 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
 
             # -- occupancy + future + resample (dsp_dynamic.h:322,924) --
             particles, weight_sum, vel_avg, future, occ_stats = (
-                occupancy_and_resample(particles, cfg, origin, state.future)
+                occupancy_and_resample(
+                    particles, cfg, origin, state.future, future_movers
+                )
             )
 
             new_state = dataclasses.replace(

@@ -52,6 +52,7 @@ def solve_assignment(
     # column axis (size N+1), p[j] = row matched to column j (0 = none yet).
     def assign_row(carry, i):
         u, v, p = carry  # u:[N+1] row potentials, v:[N+1], p:[N+1] owners
+        i = i.astype(jnp.int32)
 
         p = p.at[0].set(i)
         minv = jnp.full((N + 1,), INF)
@@ -105,8 +106,27 @@ def solve_assignment(
     u0 = jnp.zeros((N + 1,), jnp.float32)
     v0 = jnp.zeros((N + 1,), jnp.float32)
     p0 = jnp.zeros((N + 1,), jnp.int32)
-    (_, _, p), _ = jax.lax.scan(
-        assign_row, (u0, v0, p0), jnp.arange(1, N + 1, dtype=jnp.int32)
+
+    # Only augment real (valid) rows: every sequential path iteration costs
+    # ~5 us on TPU (docs/PERF.md) and realized cluster counts are 2-5 of the
+    # max_clusters=16 capacity.  Dummy rows can only claim dummy-cost pairs,
+    # which are stripped below, so skipping them leaves the real matching
+    # optimal (square-up dominance argument in the module docstring).
+    n_rows = jnp.max(
+        jnp.where(row_valid, jnp.arange(1, R + 1, dtype=jnp.int32), 0)
+    )
+
+    def rows_cond(st):
+        i, _ = st
+        return i <= n_rows
+
+    def rows_body(st):
+        i, carry = st
+        carry, _ = assign_row(carry, i)
+        return i + 1, carry
+
+    _, (_, _, p) = jax.lax.while_loop(
+        rows_cond, rows_body, (jnp.int32(1), (u0, v0, p0))
     )
 
     # p[j] = row (1-based) matched to col j (1-based) -> col_of_row

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_and_group, compact_mask
+from .common import compact_and_group, compact_mask, group_ranks, sort_by_destination
 
 
 class FovBinning(NamedTuple):
@@ -57,9 +57,12 @@ class FovBinning(NamedTuple):
 
 
 def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
-                    ranks, sel_valid, n_fov):
+                    ranks, sel_valid, n_fov, cols=None):
     """Shared two-tier binning: dense scatter + spill compaction + overflow
-    kill flags, from the compacted (pyramid-sorted) candidate buffers."""
+    kill flags, from the compacted (pyramid-sorted) candidate buffers.
+
+    ``cols`` optionally supplies pre-gathered ``(px, py, pz, weight)``
+    candidate columns (callers that already paid the pool gathers)."""
     S, V = particles.flags.shape
     n_pyr, s_pyr, S_t = cfg.n_pyramids, cfg.pyramid_slots, cfg.dense_slots
     f_cap, p_cap = cfg.fov_buffer_capacity, cfg.particle_spill_capacity
@@ -74,10 +77,13 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
         jnp.uint8(0), mode="drop"
     ).reshape(S, V)
 
-    px = particles.px.ravel()[idx]
-    py = particles.py.ravel()[idx]
-    pz = particles.pz.ravel()[idx]
-    w = particles.weight.ravel()[idx]
+    if cols is None:
+        px = particles.px.ravel()[idx]
+        py = particles.py.ravel()[idx]
+        pz = particles.pz.ravel()[idx]
+        w = particles.weight.ravel()[idx]
+    else:
+        px, py, pz, w = cols
     rng_c = jnp.sqrt(
         (px - sensor_pos[0]) ** 2
         + (py - sensor_pos[1]) ** 2
@@ -193,28 +199,133 @@ def register_fov(
     return new_particles, fovbin, stats
 
 
-def register_fov_masked(
+def rebin_and_register(
     particles,
     cfg: MapConfig,
+    sw,
     sensor_pos: jnp.ndarray,
-    pyr_plane: jnp.ndarray,
-    fov_plane: jnp.ndarray,
-    key: jax.Array,
+    update_time,
 ):
-    """:func:`register_fov` with the per-slot pyramid geometry precomputed by
-    the fused sweep (limit-xy / static configurations: the in-FOV velocity
-    perturbation is statically dead, see module docstring)."""
+    """Fused relocation + FOV registration for the fused-sweep path
+    (limit-xy / static configurations): ONE pool-sized compaction over
+    ``mover | fov`` replaces the separate mover and FOV compactions (each
+    ~2.3 ms at pool size, docs/PERF.md).  Covers ``moveParticle`` /
+    ``removeParticle`` (dsp_dynamic.h:1206-1279,686-690) plus the
+    ``pyramids_in_fov`` rebuild.
+
+    Candidate ranks are computed by a small argsort whose output scatters
+    back to buffer order, so no payload column is ever permuted; the dense
+    pyramid tiles scatter straight from the combined buffer.
+
+    Ordering deviation (documented): FOV candidates keep pre-relocation
+    pool order (the separate-pass formulation ordered relocated movers by
+    their new slots), so pyramid-overflow tie-breaking can differ when a
+    cell exceeds the kill threshold -- same capacity bound, same
+    conservation.
+
+    Returns ``(new_particles, FovBinning, future_movers, stats)`` where
+    ``future_movers = (flat[m_cap], valid[m_cap], n_dropped)`` is the
+    compacted nonzero-velocity candidate set consumed by
+    ``occupancy_and_resample`` (saving its own pool-sized compaction).
+    """
+    from .insert import allocate_slots, scatter_candidates
+
+    S, V = particles.flags.shape
     n_pyr = cfg.n_pyramids
-    f_cap = cfg.fov_buffer_capacity
+    cap = cfg.fov_buffer_capacity
+    m_cap = cfg.mover_capacity
 
-    fov_mask = fov_plane & particles.valid
+    mask = sw.mover | sw.fov | sw.moving
+    idx, c_valid, n_sel, n_comb_over = compact_mask(mask, cap)
+    is_mover = sw.mover.ravel()[idx] & c_valid
+    is_fov = sw.fov.ravel()[idx] & c_valid
+    is_moving = sw.moving.ravel()[idx] & c_valid
+    cell = sw.new_cell.ravel()[idx]
+    pyr = sw.pyr.ravel()[idx]
+    px = particles.px.ravel()[idx]
+    py = particles.py.ravel()[idx]
+    pz = particles.pz.ravel()[idx]
+    w = particles.weight.ravel()[idx]
+    flat0 = jnp.where(c_valid, idx, S * V)
 
-    idx, cand_pyr, ranks, sel_valid, n_fov = compact_and_group(
-        fov_mask, pyr_plane, f_cap, n_pyr
+    total_movers = jnp.sum(sw.mover)
+    total_fov = jnp.sum(sw.fov)
+
+    # ---- movers: compact to the mover buffer and re-insert -------------
+    mov_i, mov_ok, n_mov, mov_buf_over = compact_mask(is_mover, m_cap)
+    mov_cell = jnp.where(mov_ok, cell[mov_i], V)
+    order, _, ranks_sorted = sort_by_destination(mov_cell, mov_ok)
+    mov_ranks = (
+        jnp.zeros((m_cap,), jnp.int32).at[order].set(ranks_sorted,
+                                                     unique_indices=True)
+    )
+    mov_flat_src = jnp.where(mov_ok, flat0[mov_i], S * V)
+    safe_src = jnp.minimum(mov_flat_src, S * V - 1)
+
+    # Vacate mover sources first, then fill (see ops/rebin.py docstring for
+    # the documented parallel-semantics deviation).
+    flags_vac = jnp.where(sw.mover, jnp.uint8(0), particles.flags)
+    vacated = dataclasses.replace(particles, flags=flags_vac)
+    n_before = jnp.sum(vacated.valid)
+
+    new_flat, keep_ins = allocate_slots(vacated, mov_cell, mov_ranks, mov_ok)
+    cols_m = (
+        px[mov_i], py[mov_i], pz[mov_i],
+        particles.vx.ravel()[safe_src],
+        particles.vy.ravel()[safe_src],
+        particles.vz.ravel()[safe_src],
+        w[mov_i],
+    )
+    new_particles = scatter_candidates(
+        vacated, new_flat, cols_m, jnp.uint8(1), update_time
+    )
+    n_inserted = jnp.sum(new_particles.valid) - n_before
+
+    # ---- FOV registration from the combined buffer ---------------------
+    # Remap relocated movers to their new flat slots; voxel-full-killed
+    # movers get the sentinel and drop out of the FOV set.
+    flat = flat0.at[jnp.where(mov_ok, mov_i, cap)].set(
+        jnp.where(keep_ins, new_flat, S * V), mode="drop"
+    )
+    fov_sel = is_fov & (flat < S * V)
+    keys = jnp.where(fov_sel, pyr, n_pyr)
+    f_order = jnp.argsort(keys, stable=True)
+    f_ranks_sorted = group_ranks(keys[f_order])
+    f_ranks = (
+        jnp.zeros((cap,), jnp.int32).at[f_order].set(f_ranks_sorted,
+                                                     unique_indices=True)
     )
 
-    flags, fovbin, stats = _bin_candidates(
-        particles, cfg, sensor_pos, idx, cand_pyr, ranks, sel_valid, n_fov
+    bin_flags, fovbin, stats = _bin_candidates(
+        new_particles, cfg, sensor_pos, flat,
+        jnp.where(fov_sel, pyr, n_pyr), f_ranks, fov_sel,
+        total_fov, cols=(px, py, pz, w),
     )
-    new_particles = dataclasses.replace(particles, flags=flags)
-    return new_particles, fovbin, stats
+    out = dataclasses.replace(new_particles, flags=bin_flags)
+
+    # Future-status mover candidates (superset; occupancy re-checks
+    # flags/newborn/cull at its own pipeline point -- ops/occupancy.py).
+    # Relocated movers are already remapped in ``flat``; killed ones carry
+    # the sentinel and are dropped by occupancy's validity gather.
+    fm_sel = is_moving & (flat < S * V)
+    fm_i, fm_ok, n_fm, fm_over = compact_mask(fm_sel, m_cap)
+    future_movers = (
+        jnp.where(fm_ok, flat[fm_i], S * V),
+        fm_ok,
+        (jnp.sum(sw.moving) - jnp.sum(is_moving)) + fm_over,
+    )
+
+    n_mov_cap = jnp.minimum(n_mov, m_cap)
+    stats.update(
+        moved_out=jnp.sum(sw.moved_out),
+        movers=n_mov_cap,
+        # movers lost to either the combined or the mover buffer vanish
+        # (vacated, never re-inserted) -- both counted here
+        mover_overflow_killed=(total_movers - jnp.sum(is_mover))
+        + mov_buf_over,
+        voxel_full_killed=n_mov_cap - n_inserted,
+        # FOV candidates dropped by the combined buffer (they keep their
+        # weight but skip the measurement update this frame)
+        fov_global_overflow=total_fov - jnp.sum(is_fov),
+    )
+    return out, fovbin, future_movers, stats

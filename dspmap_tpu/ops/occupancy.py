@@ -19,10 +19,11 @@ Reference semantics preserved:
 TPU formulation (see docs/DESIGN.md section 5): the in-voxel serial walk
 becomes a cumsum over the slot axis; survivor/copy counts are closed-form
 differences of ``ceil((cum - wa/2)/wa)``; copy placement and payload sourcing
-are slots-deep select sweeps (dense VPU passes -- measured faster than
-XLA's serialized gathers/scatters at this scale).  The future-status scatter
-splits the population: exactly-static particles (the overwhelming majority
-under the reference's own zero-velocity birth policy) contribute to their own
+are slots-deep select sweeps.  On TPU the whole pool pass runs as ONE Pallas
+mega-kernel (``ops/pallas/occupancy.py``, element-exact vs the XLA path and
+toggled by ``cfg.use_pallas_occupancy``); the future-status scatter splits
+the population: exactly-static particles (the overwhelming majority under
+the reference's own zero-velocity birth policy) contribute to their own
 voxel at every horizon with no scatter; moving old particles are compacted
 once and scattered for all horizons in a single combined scatter-add.
 """
@@ -31,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
@@ -39,10 +41,9 @@ from .common import compact_mask, select_rows
 from ..state import FLAG_VALID
 
 
-def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, future_in):
-    """Returns ``(new_particles, weight_sum[V], vel_avg[V,3], future[V,T], stats)``."""
+def _pool_pass_xla(particles, cfg: MapConfig):
+    """Cull + aggregates + resample, XLA formulation (CPU & fallback)."""
     S, V = particles.flags.shape
-    T = cfg.n_horizons
 
     # ---- weight cull (dsp_dynamic.h:941-942) ---------------------------
     flags = jnp.where(
@@ -57,51 +58,15 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
 
     # ---- per-voxel aggregates -----------------------------------------
     weight_sum = jnp.sum(jnp.where(valid, w, 0.0), axis=0)  # [V]
-    n_old = jnp.sum(old, axis=0)
-    denom = jnp.maximum(n_old, 1).astype(jnp.float32)
-    vel_avg = jnp.stack(
-        [
-            jnp.sum(jnp.where(old, f, 0.0), axis=0) / denom
-            for f in (particles.vx, particles.vy, particles.vz)
-        ],
-        axis=-1,
-    ) * (n_old > 0)[:, None]
-
-    # ---- future-status prediction (dsp_dynamic.h:950-964) --------------
+    n_old = jnp.sum(old, axis=0).astype(jnp.float32)
+    vel_sums = tuple(
+        jnp.sum(jnp.where(old, f, 0.0), axis=0)
+        for f in (particles.vx, particles.vy, particles.vz)
+    )
     moving = old & (
         (particles.vx != 0.0) | (particles.vy != 0.0) | (particles.vz != 0.0)
     )
     static_contrib = jnp.sum(jnp.where(old & ~moving, w, 0.0), axis=0)  # [V]
-    future = future_in + static_contrib[:, None]
-
-    idx, sel, n_moving, n_overflow = compact_mask(moving, cfg.mover_capacity)
-    m_px = particles.px.ravel()[idx]
-    m_py = particles.py.ravel()[idx]
-    m_pz = particles.pz.ravel()[idx]
-    m_vx = particles.vx.ravel()[idx]
-    m_vy = particles.vy.ravel()[idx]
-    m_vz = particles.vz.ravel()[idx]
-    m_w = jnp.where(sel, w.ravel()[idx], 0.0)
-
-    taus = jnp.asarray(cfg.prediction_horizons, jnp.float32)  # [T]
-    fx = m_px[None, :] + m_vx[None, :] * taus[:, None]  # [T, D]
-    fy = m_py[None, :] + m_vy[None, :] * taus[:, None]
-    fz = m_pz[None, :] + m_vz[None, :] * taus[:, None]
-    wx, wy, wz = geometry.world_voxel_planar(fx, fy, fz, cfg)
-    ok = sel[None, :] & geometry.in_window_planar(wx, wy, wz, origin, cfg)
-    cell = geometry.storage_index_planar(wx, wy, wz, cfg)  # [T, D]
-    # one combined scatter-add into the flattened [V, T] grid
-    tgt = jnp.where(
-        ok,
-        cell * T + jnp.arange(T, dtype=jnp.int32)[:, None],
-        V * T,
-    )
-    future = (
-        future.ravel()
-        .at[tgt.ravel()]
-        .add(jnp.broadcast_to(m_w[None, :], tgt.shape).ravel(), mode="drop")
-        .reshape(V, T)
-    )
 
     # ---- systematic resampling (dsp_dynamic.h:986-1055) ----------------
     count = jnp.sum(valid, axis=0)  # [V]
@@ -161,12 +126,106 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray, futur
         weight=new_w,
         t=place(particles.t),
     )
+    return new_particles, weight_sum, n_old, vel_sums, static_contrib, moving
+
+
+def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
+                           future_in, future_movers=None):
+    """Returns ``(new_particles, weight_sum[V], vel_avg[V,3], future[V,T], stats)``.
+
+    ``future_movers`` optionally supplies the pre-compacted
+    nonzero-velocity candidate set from :func:`~..fov.rebin_and_register`
+    (``(flat, valid, n_dropped)``); velocities cannot change between the
+    sweep and this stage on the fused-sweep configurations, so re-checking
+    flags/newborn/cull here yields exactly the pool-compacted set without
+    another pool-sized compaction.
+    """
+    S, V = particles.flags.shape
+    T = cfg.n_horizons
+
+    use_pallas = (
+        getattr(cfg, "use_pallas_occupancy", False)
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_pallas:
+        from .pallas.occupancy import occupancy_pool_pass
+
+        fields, weight_sum, n_old, vel_sums, static_contrib, moving = (
+            occupancy_pool_pass(particles, cfg)
+        )
+        new_particles = dataclasses.replace(particles, **fields)
+    else:
+        new_particles, weight_sum, n_old, vel_sums, static_contrib, moving = (
+            _pool_pass_xla(particles, cfg)
+        )
+
+    denom = jnp.maximum(n_old, 1.0)
+    vel_avg = jnp.stack([s / denom for s in vel_sums], axis=-1) * (
+        n_old > 0
+    )[:, None]
+
+    # ---- future-status prediction (dsp_dynamic.h:950-964) --------------
+    future = future_in + static_contrib[:, None]
+
+    if future_movers is not None:
+        fm_flat, fm_ok, fm_dropped = future_movers
+        idx = jnp.minimum(fm_flat, S * V - 1)
+        fl = particles.flags.ravel()[idx]
+        wgt = particles.weight.ravel()[idx]
+        sel = (
+            fm_ok
+            & (fl != 0)
+            & (fl != 3)
+            & (wgt >= cfg.weight_cull_threshold)
+        )
+        n_moving = jnp.sum(sel)
+        n_overflow = fm_dropped
+    else:
+        idx, sel, n_moving, n_overflow = compact_mask(
+            moving, cfg.mover_capacity
+        )
+    m_px = particles.px.ravel()[idx]
+    m_py = particles.py.ravel()[idx]
+    m_pz = particles.pz.ravel()[idx]
+    m_vx = particles.vx.ravel()[idx]
+    m_vy = particles.vy.ravel()[idx]
+    m_vz = particles.vz.ravel()[idx]
+    m_w = jnp.where(sel, particles.weight.ravel()[idx], 0.0)
+
+    taus = jnp.asarray(cfg.prediction_horizons, jnp.float32)  # [T]
+    fx = m_px[None, :] + m_vx[None, :] * taus[:, None]  # [T, D]
+    fy = m_py[None, :] + m_vy[None, :] * taus[:, None]
+    fz = m_pz[None, :] + m_vz[None, :] * taus[:, None]
+    wx, wy, wz = geometry.world_voxel_planar(fx, fy, fz, cfg)
+    ok = sel[None, :] & geometry.in_window_planar(wx, wy, wz, origin, cfg)
+    cell = geometry.storage_index_planar(wx, wy, wz, cfg)  # [T, D]
+    # one combined scatter-add into the flattened [V, T] grid
+    tgt = jnp.where(
+        ok,
+        cell * T + jnp.arange(T, dtype=jnp.int32)[:, None],
+        V * T,
+    )
+    future = (
+        future.ravel()
+        .at[tgt.ravel()]
+        .add(jnp.broadcast_to(m_w[None, :], tgt.shape).ravel(), mode="drop")
+        .reshape(V, T)
+    )
+
+    valid_in = particles.valid
+    new_valid = new_particles.valid
+    culled = jnp.sum(
+        valid_in & (particles.weight < cfg.weight_cull_threshold)
+    )
+    survivor = valid_in & (particles.weight >= cfg.weight_cull_threshold)
     stats = {
-        "alive": jnp.sum(new_particles.valid),
-        "culled": jnp.sum(particles.valid) - jnp.sum(valid),
-        "resampled_voxels": jnp.sum(do_rs),
-        "resample_dropped": jnp.sum(dropped),
-        "resample_copies": jnp.sum(filled),
+        "alive": jnp.sum(new_valid),
+        "culled": culled,
+        "resampled_voxels": jnp.sum(
+            jnp.sum(survivor, axis=0) >= cfg.resample_min_count
+        ),
+        "resample_dropped": jnp.sum(survivor & ~new_valid),
+        "resample_copies": jnp.sum(~survivor & new_valid),
         "future_moving": n_moving,
         "future_overflow": n_overflow,
     }

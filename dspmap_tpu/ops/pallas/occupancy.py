@@ -1,0 +1,172 @@
+"""Pallas TPU mega-kernel for the occupancy/cull/aggregate/resample pool
+pass (``mapOccupancyCalculationAndResample``, dsp_dynamic.h:924-1057).
+
+The XLA formulation (ops/occupancy.py) runs ~15 separate fusions over the
+nine [S, V] particle planes: cull, per-voxel aggregates, two slot-axis
+cumsums (reduce-windows), the S^2 copy-placement sweep and eight S-deep
+placement selects.  All of it is columnwise over voxels with only tiny
+slot-axis loops, so one kernel computes the whole stage per [S, L] tile at
+one HBM read + one write of the pool (~2 ms -> ~0.5 ms on v5e).
+
+Math is identical to ops/occupancy.py (asserted element-exact by
+tests/test_pallas.py in interpret mode and by the shared callers on TPU):
+slot-axis cumsums become S-step unrolled row loops (Mosaic has no cumsum
+lowering, and rejects the small 2-D iotas a triangular-matmul formulation
+would need); everything else is the same closed-form bucketing.  The
+future-status scatter and the per-frame stats stay outside (they need
+global gathers/scatters).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import MapConfig
+
+
+def _kernel(flags_ref, w_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
+            vz_ref, t_ref,
+            oflags_ref, ow_ref, opx_ref, opy_ref, opz_ref, ovx_ref, ovy_ref,
+            ovz_ref, ot_ref, omoving_ref, ows_ref, onold_ref, ovsx_ref,
+            ovsy_ref, ovsz_ref, ostatic_ref,
+            *, cfg: MapConfig, S: int):
+    # flag logic in i32: the VPU has no 8-bit equality compare
+    flags = flags_ref[...].astype(jnp.int32)
+    w = w_ref[...]
+    vx, vy, vz = vx_ref[...], vy_ref[...], vz_ref[...]
+
+    valid0 = flags != 0
+    cull = valid0 & (w < cfg.weight_cull_threshold)
+    valid = valid0 & ~cull
+    newborn = flags == 3
+    old = valid & ~newborn
+    moving = old & ((vx != 0.0) | (vy != 0.0) | (vz != 0.0))
+
+    fvalid = valid.astype(jnp.float32)
+    wv = w * fvalid
+    weight_sum = jnp.sum(wv, axis=0)  # [L]
+    fold = old.astype(jnp.float32)
+    n_old = jnp.sum(fold, axis=0)
+    ovsx_ref[...] = jnp.sum(vx * fold, axis=0)
+    ovsy_ref[...] = jnp.sum(vy * fold, axis=0)
+    ovsz_ref[...] = jnp.sum(vz * fold, axis=0)
+    ostatic_ref[...] = jnp.sum(w * (old & ~moving).astype(jnp.float32), axis=0)
+    ows_ref[...] = weight_sum
+    onold_ref[...] = n_old
+    omoving_ref[...] = moving
+
+    # ---- systematic resampling (dsp_dynamic.h:986-1055) ----------------
+    count = jnp.sum(fvalid, axis=0)
+    do_rs = count >= cfg.resample_min_count
+    n_target = jnp.minimum(count, float(cfg.max_particles_per_voxel))
+    wa = jnp.where(do_rs, weight_sum / jnp.maximum(n_target, 1.0), 1.0)
+    # Materialized [S, L] copy of the per-voxel mask: Mosaic cannot relayout
+    # an i1 vector whose broadcast dimension is replicated, so build it
+    # through f32 arithmetic.
+    do_rs_b = (jnp.zeros_like(w) + do_rs.astype(jnp.float32)[None, :]) > 0.0
+
+    # slot-axis inclusive cumsum: S-step unrolled row loop (S is small;
+    # Mosaic has no cumsum lowering and rejects small 2-D iotas)
+    def cumsum_rows(x):
+        acc = x[0:1, :]
+        rows = [acc]
+        for s in range(1, S):
+            acc = acc + x[s : s + 1, :]
+            rows.append(acc)
+        return jnp.concatenate(rows, axis=0)
+
+    hi = cumsum_rows(wv)  # [S, L]
+    lo = hi - wv
+
+    def n_grid(x):  # grid points wa*(k+1/2) strictly below x
+        return jnp.maximum(jnp.ceil(x / wa - 0.5), 0.0)
+
+    copies = jnp.where(valid & do_rs_b, n_grid(hi) - n_grid(lo), 0.0)
+    kept = valid & do_rs_b & (copies >= 1.0)
+    dropped = valid & do_rs_b & (copies == 0.0)
+    extra = jnp.maximum(copies - 1.0, 0.0)
+
+    is_free = ((~valid) | dropped).astype(jnp.float32)
+    free_cum = cumsum_rows(is_free)
+    free_rank = free_cum - is_free
+    total_free = free_cum[S - 1]
+    demand_end = cumsum_rows(extra)
+    total_extra = demand_end[S - 1]
+
+    # copy placement: free slot of rank r sources particle j with
+    # demand_end[j-1] <= r < demand_end[j]
+    src_idx = jnp.zeros_like(free_rank)
+    for j in range(S):
+        de_j = jnp.zeros_like(free_rank) + demand_end[j][None, :]
+        src_idx = src_idx + (de_j <= free_rank).astype(jnp.float32)
+    lim = jnp.zeros_like(free_rank) + jnp.minimum(total_extra, total_free)[None, :]
+    filled = ((~valid) | dropped) & (free_rank < lim) & do_rs_b
+
+    # fold-back for copies that found no space (dsp_dynamic.h:1037-1041)
+    demand_start = demand_end - extra
+    placed = jnp.clip(total_free[None, :] - demand_start, 0.0, extra)
+    unplaced = extra - placed
+
+    new_w = jnp.where(kept, wa * (1.0 + unplaced), w)
+    new_w = jnp.where(filled, wa[None, :] * jnp.ones_like(w), new_w)
+    base_flags = jnp.where(cull, 0, flags)
+    new_flags = jnp.where(valid, 1, base_flags)
+    new_flags = jnp.where(dropped, 0, new_flags)
+    new_flags = jnp.where(filled, 1, new_flags)
+
+    oflags_ref[...] = new_flags.astype(jnp.uint8)
+    ow_ref[...] = new_w
+
+    for f_ref, o_ref in ((px_ref, opx_ref), (py_ref, opy_ref),
+                         (pz_ref, opz_ref), (vx_ref, ovx_ref),
+                         (vy_ref, ovy_ref), (vz_ref, ovz_ref),
+                         (t_ref, ot_ref)):
+        field = f_ref[...]
+        sel = jnp.broadcast_to(field[0][None, :], field.shape)
+        for j in range(1, S):
+            sel = jnp.where(src_idx == j, field[j][None, :], sel)
+        o_ref[...] = jnp.where(filled, sel, field)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False):
+    """One-pass cull + aggregates + resample over the pool.
+
+    Returns ``(new_fields dict, weight_sum[V], n_old[V], vel_sums[V,3],
+    static_contrib[V], moving[S, V])`` -- the caller (ops/occupancy.py)
+    derives vel_avg, the future grids and the stats.
+    """
+    S, V = particles.flags.shape
+    L = 2048 if S <= 32 else 1024
+    grid = (pl.cdiv(V, L),)
+
+    def bspec():
+        return pl.BlockSpec((S, L), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    def vspec():
+        return pl.BlockSpec((L,), lambda b: (b,), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, cfg=cfg, S=S),
+        grid=grid,
+        in_specs=[bspec() for _ in range(9)],
+        out_specs=[bspec() for _ in range(10)] + [vspec() for _ in range(6)],
+        out_shape=(
+            [jax.ShapeDtypeStruct((S, V), jnp.uint8)]
+            + [jax.ShapeDtypeStruct((S, V), jnp.float32) for _ in range(8)]
+            + [jax.ShapeDtypeStruct((S, V), jnp.bool_)]
+            + [jax.ShapeDtypeStruct((V,), jnp.float32) for _ in range(6)]
+        ),
+        interpret=interpret,
+    )(particles.flags, particles.weight, particles.px, particles.py,
+      particles.pz, particles.vx, particles.vy, particles.vz, particles.t)
+    (flags, w, px, py, pz, vx, vy, vz, t, moving,
+     ws, n_old, vsx, vsy, vsz, static_contrib) = outs
+    fields = dict(flags=flags, weight=w, px=px, py=py, pz=pz,
+                  vx=vx, vy=vy, vz=vz, t=t)
+    return fields, ws, n_old, (vsx, vsy, vsz), static_contrib, moving

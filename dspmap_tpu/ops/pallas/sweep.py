@@ -51,7 +51,7 @@ def _atan2(y, x):
 def _kernel(scal_ref, iscal_ref, flags_ref, px_ref, py_ref, pz_ref,
             vx_ref, vy_ref,
             opx_ref, opy_ref, oflags_ref, omover_ref, ocell_ref,
-            opyr_ref, ofov_ref, oout_ref,
+            opyr_ref, ofov_ref, oout_ref, omoving_ref,
             *, cfg: MapConfig, advance: bool, L: int):
     S = cfg.slots_per_voxel
     dt = scal_ref[0]
@@ -123,6 +123,11 @@ def _kernel(scal_ref, iscal_ref, flags_ref, px_ref, py_ref, pz_ref,
     opyr_ref[...] = h * cfg.n_pyramids_v + v
     ofov_ref[...] = valid & inside & in_fov
     oout_ref[...] = moved_out
+    # vz == 0 by construction on the fused-sweep configurations (limit-xy /
+    # static), so the nonzero-velocity test reduces to vx/vy
+    omoving_ref[...] = (
+        valid & inside & ((vx_ref[...] != 0.0) | (vy_ref[...] != 0.0))
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -156,7 +161,7 @@ def sweep_pallas(particles, cfg: MapConfig, dt, origin, sensor_pos, quat,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             bspec(), bspec(), bspec(), bspec(), bspec(), bspec(),
         ],
-        out_specs=[bspec() for _ in range(8)],
+        out_specs=[bspec() for _ in range(9)],
         out_shape=[
             jax.ShapeDtypeStruct((S, V), jnp.float32),
             jax.ShapeDtypeStruct((S, V), jnp.float32),
@@ -166,12 +171,13 @@ def sweep_pallas(particles, cfg: MapConfig, dt, origin, sensor_pos, quat,
             jax.ShapeDtypeStruct((S, V), jnp.int32),
             jax.ShapeDtypeStruct((S, V), jnp.bool_),
             jax.ShapeDtypeStruct((S, V), jnp.bool_),
+            jax.ShapeDtypeStruct((S, V), jnp.bool_),
         ],
         interpret=interpret,
     )(scal, iscal, particles.flags, particles.px, particles.py, particles.pz,
       particles.vx, particles.vy)
-    opx, opy, oflags, omover, ocell, opyr, ofov, oout = outs
+    opx, opy, oflags, omover, ocell, opyr, ofov, oout, omoving = outs
     return SweepOut(
         px=opx, py=opy, pz=particles.pz, flags=oflags, mover=omover,
-        new_cell=ocell, pyr=opyr, fov=ofov, moved_out=oout,
+        new_cell=ocell, pyr=opyr, fov=ofov, moved_out=oout, moving=omoving,
     )

@@ -85,63 +85,3 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t):
         "voxel_full_killed": n_kept - (jnp.sum(new_particles.valid) - n_before),
     }
     return new_particles, stats
-
-
-def rebin_masked(particles, cfg: MapConfig, sw, t):
-    """Rebin using the precomputed fused-sweep masks (see ops/sweep.py).
-
-    ``particles`` must already carry the advanced positions/flags from the
-    sweep.  Returns ``(new_particles, pyr_plane, fov_plane, stats)`` where the
-    pyramid planes have been fixed up for relocated movers (their pyramid
-    depends only on position, which relocation does not change, so the values
-    move with them).
-    """
-    S, V = particles.flags.shape
-
-    idx, cell, ranks, sel_valid, n_movers = compact_and_group(
-        sw.mover, sw.new_cell, cfg.mover_capacity, V
-    )
-
-    def gather(field):
-        return field.ravel()[idx]
-
-    payload = jnp.stack(
-        [
-            gather(particles.px), gather(particles.py), gather(particles.pz),
-            gather(particles.vx), gather(particles.vy), gather(particles.vz),
-            gather(particles.weight),
-        ],
-        axis=-1,
-    )
-
-    flags = jnp.where(sw.mover, jnp.uint8(0), particles.flags)
-    vacated = dataclasses.replace(particles, flags=flags)
-    n_before = jnp.sum(vacated.valid)
-
-    new_particles, flat, keep = insert_sorted(
-        vacated, cfg,
-        cell=cell, ranks=ranks, payload=payload, valid=sel_valid,
-        flag=jnp.uint8(1), t=t,
-    )
-
-    # Move the pyramid/FOV annotations with the relocated particles.
-    safe_flat = jnp.where(keep, flat, S * V)
-    pyr_plane = (
-        sw.pyr.ravel().at[safe_flat].set(
-            sw.pyr.ravel()[idx], mode="drop", unique_indices=True
-        ).reshape(S, V)
-    )
-    fov_plane = (
-        sw.fov.ravel().at[safe_flat].set(
-            sw.fov.ravel()[idx], mode="drop", unique_indices=True
-        ).reshape(S, V)
-    )
-
-    n_kept = jnp.minimum(n_movers, cfg.mover_capacity)
-    stats = {
-        "moved_out": jnp.sum(sw.moved_out),
-        "movers": n_kept,
-        "mover_overflow_killed": n_movers - n_kept,
-        "voxel_full_killed": n_kept - (jnp.sum(new_particles.valid) - n_before),
-    }
-    return new_particles, pyr_plane, fov_plane, stats

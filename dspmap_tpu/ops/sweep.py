@@ -35,6 +35,11 @@ class SweepOut(NamedTuple):
     pyr: jnp.ndarray  # i32 pyramid cell (clipped)
     fov: jnp.ndarray  # bool: valid & in FOV
     moved_out: jnp.ndarray  # bool: valid & left the window
+    #: valid & inside & nonzero velocity -- the future-status scatter's
+    #: candidate superset (occupancy re-checks flags/newborn/cull at its
+    #: own point in the frame; velocities cannot change in between on the
+    #: fused-sweep configurations)
+    moving: jnp.ndarray
 
 
 def sweep_reference(
@@ -72,7 +77,17 @@ def sweep_reference(
     pyr, in_fov = geometry.pyramid_index_planar(sx, sy, sz, cfg)
     fov = valid & inside & in_fov
 
-    return SweepOut(px, py, pz, flags, mover, new_cell, pyr, fov, moved_out)
+    moving = (
+        valid
+        & inside
+        & (
+            (particles.vx != 0.0)
+            | (particles.vy != 0.0)
+            | (particles.vz != 0.0)
+        )
+    )
+    return SweepOut(px, py, pz, flags, mover, new_cell, pyr, fov, moved_out,
+                    moving)
 
 
 def sweep(particles, cfg: MapConfig, dt, origin, sensor_pos, quat) -> SweepOut:

@@ -75,21 +75,58 @@ def shard_state(state: MapState, mesh: Mesh) -> MapState:
     return jax.device_put(state, state_shardings(mesh, state))
 
 
-def make_sharded_step(cfg: MapConfig, mesh: Mesh, step=None):
-    """Jit the per-frame step with explicit in/out shardings over ``mesh``.
+def make_sharded_step(cfg: MapConfig, mesh: Mesh, step=None,
+                      template_state: MapState | None = None,
+                      template_frame=None):
+    """Jit the per-frame step with explicitly PINNED in/out shardings.
 
     ``frame`` inputs are replicated (every chip sees the whole observation);
-    the returned state keeps the canonical map sharding so steps chain
-    without resharding.
+    the new state is constrained to the canonical map sharding -- layout
+    stability across steps is enforced, not left to sharding propagation.
+    ``StepOutput`` leaves with a leading voxel axis (the weight grid) stay
+    sharded; everything else (metrics scalars, estimator cloud) is
+    replicated.  Pass ``template_state`` / ``template_frame`` for
+    non-default shapes (e.g. ``init_multisensor_state`` with its leading
+    sensor axis).
     """
-    from ..models.pipeline import make_step, Frame, StepOutput  # noqa: F401
+    import jax.numpy as jnp
+
+    from ..models.pipeline import Frame, make_step
+    from ..state import init_state
 
     step = step or make_step(cfg)
+    if template_state is None:
+        template_state = jax.eval_shape(
+            lambda: init_state(cfg, jax.random.key(0))
+        )
+    if template_frame is None:
+        template_frame = Frame(
+            points=jax.ShapeDtypeStruct(
+                (cfg.max_input_points, 3), jnp.float32
+            ),
+            n_points=jax.ShapeDtypeStruct((), jnp.int32),
+            sensor_pos=jax.ShapeDtypeStruct((3,), jnp.float32),
+            quat=jax.ShapeDtypeStruct((4,), jnp.float32),
+            timestamp=jax.ShapeDtypeStruct((), jnp.float32),
+        )
+    st_shardings = state_shardings(mesh, template_state)
+    repl = NamedSharding(mesh, P())
+    V = cfg.voxel_num
 
-    def sharded(state: MapState, frame):
-        return step(state, frame)
+    def out_sharding(leaf):
+        if leaf.ndim >= 1 and leaf.shape[0] == V:
+            return NamedSharding(
+                mesh, P(MAP_AXIS, *([None] * (leaf.ndim - 1)))
+            )
+        return repl
 
-    # Shardings are derived lazily from a template state at first call via
-    # jit's sharding propagation; pin the state output to its input sharding
-    # so the canonical layout is stable across steps.
-    return jax.jit(sharded, donate_argnums=0)
+    out_tmpl = jax.eval_shape(step, template_state, template_frame)
+    return jax.jit(
+        step,
+        in_shardings=(
+            st_shardings,
+            jax.tree.map(lambda _: repl, template_frame),
+        ),
+        out_shardings=(st_shardings, jax.tree.map(out_sharding, out_tmpl[1])),
+        donate_argnums=0,
+    )

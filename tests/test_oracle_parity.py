@@ -130,6 +130,46 @@ def test_occupancy_parity_static(oracle_bins):
 
 
 @pytest.mark.slow
+def test_occupancy_parity_multi_neighbors(oracle_bins):
+    """Same comparison for the multiple-neighbors variant (1-degree
+    pyramids, 5x5 update neighborhood, dsp_dynamic_multiple_neighbors.h).
+    Reduced frame budget: the 1-degree oracle configuration is the heaviest
+    (64,800 global pyramids on one CPU core)."""
+    sys.path.insert(0, str(ORACLE))
+    from run_oracle import make_frames, run
+
+    import dspmap_tpu as dm
+
+    n_frames, max_points = 15, 2000
+    frames = make_frames(n_frames, max_points, seed=6, dense=False)
+    ref = run("multi", frames, max_points, threshold=0.2)
+
+    cfg = dm.example_node_settings(
+        dm.dsp_dynamic_multi_neighbors(max_input_points=max_points)
+    )
+    state = dm.init_state(cfg, jax.random.key(0))
+    step = jax.jit(dm.make_step(cfg))
+    ours = []
+    for pts, n, pos, quat, t in frames:
+        frame = dm.Frame(
+            jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+            jnp.asarray(quat), jnp.asarray(np.float32(t)),
+        )
+        state, out = step(state, frame)
+        occ, centers, future, state = dm.get_occupancy_map(state, cfg, 0.2)
+        ours.append(np.asarray(centers)[np.asarray(occ)])
+
+    tol = cfg.voxel_resolution * 1.6
+    fracs = []
+    for k in range(-4, 0):
+        ref_world = ref["frames"][k]["ego_centers"] + frames[k][2]
+        m_ours, m_ref = _match_stats(ours[k], ref_world, tol)
+        fracs.append((m_ours, m_ref, len(ours[k]), len(ref_world)))
+    assert np.mean([f[0] for f in fracs]) > 0.7, fracs
+    assert np.mean([f[1] for f in fracs]) > 0.7, fracs
+
+
+@pytest.mark.slow
 def test_future_status_parity_dynamic(oracle_bins):
     """The accumulated future-status grids agree in where they put mass:
     compare the final-frame future grid (summed over horizons) as weighted

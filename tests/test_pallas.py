@@ -75,3 +75,53 @@ def test_compact_kernel_matches_nonzero():
     expect = np.nonzero(mask)[0]
     assert int(count) == len(expect)
     np.testing.assert_array_equal(np.asarray(idx)[: int(count)], expect)
+
+
+@pytest.mark.parametrize("safety", [2, 5])
+def test_occupancy_kernel_matches_xla(safety):
+    """The occupancy mega-kernel (ops/pallas/occupancy.py) is element-exact
+    vs the XLA pool pass, including cull, newborn reset, systematic-resample
+    copy placement and mass fold-back -- at both the x2 and the x5
+    (dsp_static) slot safety factors."""
+    from dspmap_tpu.ops.occupancy import _pool_pass_xla
+    from dspmap_tpu.ops.pallas.occupancy import occupancy_pool_pass
+
+    cfg = _cfg(voxel_slot_safety_factor=safety)
+    rng = np.random.default_rng(safety)
+    state = dm.init_state(cfg, jax.random.key(0))
+    S, V = cfg.slots_per_voxel, cfg.voxel_num
+    flags = np.zeros((S, V), np.uint8)
+    weights = np.zeros((S, V), np.float32)
+    vx = np.zeros((S, V), np.float32)
+    for c in rng.choice(V, size=300, replace=False):
+        k = rng.integers(1, S + 1)
+        slots = rng.choice(S, size=k, replace=False)
+        flags[slots, c] = rng.choice([1, 1, 1, 3], size=k)
+        weights[slots, c] = rng.uniform(0.0005, 1.0, size=k)
+        vx[slots, c] = np.where(rng.random(k) < 0.3, 1.0, 0.0)
+    p = dataclasses.replace(
+        state.particles,
+        flags=jnp.asarray(flags), weight=jnp.asarray(weights),
+        vx=jnp.asarray(vx),
+        px=jnp.asarray(rng.normal(0, 1, (S, V)), jnp.float32),
+        t=jnp.asarray(rng.uniform(0, 5, (S, V)), jnp.float32),
+    )
+    ref, ws_r, n_old_r, vsum_r, static_r, moving_r = _pool_pass_xla(p, cfg)
+    fields, ws, n_old, vsum, static_c, moving = occupancy_pool_pass(
+        p, cfg, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fields["flags"]),
+                                  np.asarray(ref.flags))
+    np.testing.assert_allclose(np.asarray(fields["weight"]),
+                               np.asarray(ref.weight), rtol=1e-6, atol=1e-9)
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "t"):
+        np.testing.assert_allclose(
+            np.asarray(fields[f]), np.asarray(getattr(ref, f)),
+            rtol=1e-6, err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(moving), np.asarray(moving_r))
+    np.testing.assert_allclose(np.asarray(static_c), np.asarray(static_r),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_old).astype(np.int32),
+                                  np.asarray(n_old_r).astype(np.int32))

@@ -64,6 +64,46 @@ def test_sharded_step_matches_single_device(n_devices):
     assert len(shards.device_set) == n_devices
 
 
+def test_make_sharded_step_pins_layout():
+    """make_sharded_step pins in/out shardings: chained steps keep the
+    canonical map sharding (no propagation drift) and match the
+    single-device run."""
+    from dspmap_tpu.parallel import make_sharded_step
+
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    cfg = cfg_for(n_dev)
+    frames = [
+        Frame(jnp.asarray(p), jnp.int32(n), jnp.asarray(pos),
+              jnp.asarray(q), jnp.asarray(t))
+        for p, n, pos, q, t in sim.generate_sequence(3, cfg, seed=5)
+    ]
+
+    s1 = init_state(cfg, jax.random.key(0))
+    step1 = jax.jit(make_step(cfg))
+    for f in frames:
+        s1, o1 = step1(s1, f)
+
+    mesh = make_mesh(n_dev)
+    step2 = make_sharded_step(cfg, mesh)
+    s2 = shard_state(init_state(cfg, jax.random.key(0)), mesh)
+    want = state_shardings(mesh, s2)
+    for f in frames:
+        s2, o2 = step2(s2, f)
+        assert s2.particles.weight.sharding.is_equivalent_to(
+            want.particles.weight, s2.particles.weight.ndim
+        )
+        assert o2.weight_sum.sharding.spec == want.weight_sum.spec
+
+    np.testing.assert_allclose(
+        np.asarray(s1.weight_sum), np.asarray(s2.weight_sum), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1.particles.flags), np.asarray(s2.particles.flags)
+    )
+
+
 def test_graft_entry_dryrun():
     import importlib.util, pathlib
     spec = importlib.util.spec_from_file_location(
