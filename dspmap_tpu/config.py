@@ -158,7 +158,7 @@ class MapConfig:
     #: field scatters (XLA scatter cost is capacity-bound); otherwise the
     #: exact full-capacity scatter runs.  ``None`` disables the
     #: specialization (single full-capacity program).
-    birth_compact_capacity: int | None = 1 << 15
+    birth_compact_capacity: int | None = 1 << 14
     #: capacity (in *cells*) of the spill-observation tier: cells holding
     #: more than the dense tier of points get a compacted per-cell tile of
     #: the remainder (up to the reference drop threshold).  Overflowing

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_and_group, compact_mask, group_ranks, sort_by_destination
+from .common import (compact_and_group, compact_mask, gather_columns,
+                     group_ranks, sort_by_destination)
 
 
 class FovBinning(NamedTuple):
@@ -91,24 +92,28 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
     )
 
     # Dense binned tensors: all scatters hit unique (pyramid, rank) cells.
+    # One stacked [M, 7] scatter replaces five separate ones (XLA scatter
+    # cost is per index row; measured 1.2 -> 0.8 ms at 32k candidates).
+    # The slot ids ride along bitcast to f32, so they round-trip exactly.
     cell = jnp.where(keep, cand_pyr * S_t + ranks, grid_cap)
-
-    def scat(vals, fill=0.0):
-        return (
-            jnp.full((grid_cap + 1,) + vals.shape[1:], fill, vals.dtype)
-            .at[cell]
-            .set(vals, mode="drop", unique_indices=True)[:grid_cap]
-        )
-
-    bpos = scat(jnp.stack([px, py, pz], axis=-1)).reshape(n_pyr, S_t, 3)
-    bw = scat(w).reshape(n_pyr, S_t)
-    brng = scat(rng_c).reshape(n_pyr, S_t)
-    bmask = scat(keep).reshape(n_pyr, S_t)
-    bslot = (
-        jnp.full((grid_cap + 1,), S * V, jnp.int32)
+    upd = jnp.stack(
+        [px, py, pz, w, rng_c, keep.astype(jnp.float32),
+         jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=-1
+    )  # [M, 7]
+    fill = jnp.zeros((7,), jnp.float32).at[6].set(
+        jax.lax.bitcast_convert_type(jnp.int32(S * V), jnp.float32)
+    )
+    big = (
+        jnp.broadcast_to(fill, (grid_cap + 1, 7))
         .at[cell]
-        .set(idx, mode="drop", unique_indices=True)[:grid_cap]
-        .reshape(n_pyr, S_t)
+        .set(upd, mode="drop", unique_indices=True)[:grid_cap]
+    )
+    bpos = big[:, 0:3].reshape(n_pyr, S_t, 3)
+    bw = big[:, 3].reshape(n_pyr, S_t)
+    brng = big[:, 4].reshape(n_pyr, S_t)
+    bmask = (big[:, 5] > 0).reshape(n_pyr, S_t)
+    bslot = jax.lax.bitcast_convert_type(big[:, 6], jnp.int32).reshape(
+        n_pyr, S_t
     )
 
     # Spill tier: ranks in [S_t, s_pyr) -- compacted, exact-path processed.
@@ -237,15 +242,14 @@ def rebin_and_register(
 
     mask = sw.mover | sw.fov | sw.moving
     idx, c_valid, n_sel, n_comb_over = compact_mask(mask, cap)
-    is_mover = sw.mover.ravel()[idx] & c_valid
-    is_fov = sw.fov.ravel()[idx] & c_valid
-    is_moving = sw.moving.ravel()[idx] & c_valid
-    cell = sw.new_cell.ravel()[idx]
-    pyr = sw.pyr.ravel()[idx]
-    px = particles.px.ravel()[idx]
-    py = particles.py.ravel()[idx]
-    pz = particles.pz.ravel()[idx]
-    w = particles.weight.ravel()[idx]
+    (is_mover, is_fov, is_moving, cell, pyr, px, py, pz, w) = gather_columns(
+        (sw.mover, sw.fov, sw.moving, sw.new_cell, sw.pyr,
+         particles.px, particles.py, particles.pz, particles.weight),
+        idx,
+    )
+    is_mover = is_mover & c_valid
+    is_fov = is_fov & c_valid
+    is_moving = is_moving & c_valid
     flat0 = jnp.where(c_valid, idx, S * V)
 
     total_movers = jnp.sum(sw.mover)
@@ -269,13 +273,10 @@ def rebin_and_register(
     n_before = jnp.sum(vacated.valid)
 
     new_flat, keep_ins = allocate_slots(vacated, mov_cell, mov_ranks, mov_ok)
-    cols_m = (
-        px[mov_i], py[mov_i], pz[mov_i],
-        particles.vx.ravel()[safe_src],
-        particles.vy.ravel()[safe_src],
-        particles.vz.ravel()[safe_src],
-        w[mov_i],
+    mvx, mvy, mvz = gather_columns(
+        (particles.vx, particles.vy, particles.vz), safe_src
     )
+    cols_m = (px[mov_i], py[mov_i], pz[mov_i], mvx, mvy, mvz, w[mov_i])
     new_particles = scatter_candidates(
         vacated, new_flat, cols_m, jnp.uint8(1), update_time
     )

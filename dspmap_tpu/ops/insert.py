@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask, sort_by_destination
+from .common import I32_MAX, compact_mask, gather_columns, sort_by_destination
 
 
 def empty_slot_lookup(flags, cell, ranks):
@@ -187,28 +187,62 @@ def insert_particles(
     t,
     compact_to: int | None = None,
 ):
-    """Insert unsorted candidates: ranks via a destination argsort whose
-    output is scattered back to candidate order, so payloads never move
-    until the final pool scatter.
+    """Insert unsorted candidates (ranks via a destination argsort).
 
     Candidates outside the map window are dropped (the reference's
     ``getParticleVoxelsIndex`` failure path, dsp_dynamic.h:875,1062-1074).
+
+    With ``compact_to``, candidates whose within-voxel arrival rank is
+    ``>= S`` (they can NEVER insert -- the voxel has only S slots,
+    dsp_dynamic.h:1198-1200) are dropped *before* allocation and the
+    survivors compacted to the budget, so the empty-slot lookup, the payload
+    gather (one stacked row gather) and the nine pool scatters all run at
+    budget size instead of M.  When the eligible set overflows the budget
+    (burst frames), a ``lax.cond`` falls back to the exact full-size path.
     """
     M = pos.shape[0]
+    S, V = particles.flags.shape
     wv = geometry.world_voxel(pos, cfg)
     inside = geometry.in_window(wv, origin, cfg)
     valid = valid & inside
     dest = geometry.storage_index(wv, cfg)
 
     order, sorted_dest, ranks_sorted = sort_by_destination(dest, valid)
+    cols = (pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
+            weight)
+
+    if compact_to is not None and compact_to < M:
+        eligible = (sorted_dest < I32_MAX) & (ranks_sorted < S)
+        c_pos, c_valid, _, n_over = compact_mask(eligible, compact_to)
+
+        def small(particles):
+            cell_c = jnp.where(c_valid, sorted_dest[c_pos], V)
+            ranks_c = ranks_sorted[c_pos]
+            src = order[c_pos]  # original candidate index
+            flat_c, _ = allocate_slots(particles, cell_c, ranks_c, c_valid)
+            cols_c = gather_columns(cols, src)
+            return scatter_candidates(
+                particles, flat_c, cols_c, flag, t, None
+            )
+
+        def big(particles):
+            ranks = (
+                jnp.zeros((M,), jnp.int32).at[order].set(
+                    ranks_sorted, unique_indices=True
+                )
+            )
+            flat, _ = allocate_slots(
+                particles, jnp.where(valid, dest, V), ranks, valid
+            )
+            return scatter_candidates(particles, flat, cols, flag, t, None)
+
+        return jax.lax.cond(n_over == 0, small, big, particles)
+
     ranks = (
         jnp.zeros((M,), jnp.int32).at[order].set(ranks_sorted,
                                                  unique_indices=True)
     )
     flat, keep = allocate_slots(
-        particles, jnp.where(valid, dest, particles.flags.shape[1]),
-        ranks, valid,
+        particles, jnp.where(valid, dest, V), ranks, valid
     )
-    cols = (pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
-            weight)
     return scatter_candidates(particles, flat, cols, flag, t, compact_to)

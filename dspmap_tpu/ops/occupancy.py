@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask, select_rows
+from .common import compact_mask, gather_columns, select_rows
 from ..state import FLAG_VALID
 
 
@@ -170,8 +170,11 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     if future_movers is not None:
         fm_flat, fm_ok, fm_dropped = future_movers
         idx = jnp.minimum(fm_flat, S * V - 1)
-        fl = particles.flags.ravel()[idx]
-        wgt = particles.weight.ravel()[idx]
+        fl, m_px, m_py, m_pz, m_vx, m_vy, m_vz, wgt = gather_columns(
+            (particles.flags, particles.px, particles.py, particles.pz,
+             particles.vx, particles.vy, particles.vz, particles.weight),
+            idx,
+        )
         sel = (
             fm_ok
             & (fl != 0)
@@ -184,13 +187,12 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
         idx, sel, n_moving, n_overflow = compact_mask(
             moving, cfg.mover_capacity
         )
-    m_px = particles.px.ravel()[idx]
-    m_py = particles.py.ravel()[idx]
-    m_pz = particles.pz.ravel()[idx]
-    m_vx = particles.vx.ravel()[idx]
-    m_vy = particles.vy.ravel()[idx]
-    m_vz = particles.vz.ravel()[idx]
-    m_w = jnp.where(sel, particles.weight.ravel()[idx], 0.0)
+        m_px, m_py, m_pz, m_vx, m_vy, m_vz, wgt = gather_columns(
+            (particles.px, particles.py, particles.pz,
+             particles.vx, particles.vy, particles.vz, particles.weight),
+            idx,
+        )
+    m_w = jnp.where(sel, wgt, 0.0)
 
     taus = jnp.asarray(cfg.prediction_horizons, jnp.float32)  # [T]
     fx = m_px[None, :] + m_vx[None, :] * taus[:, None]  # [T, D]

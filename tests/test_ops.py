@@ -68,6 +68,38 @@ def test_insert_respects_capacity_and_order():
     np.testing.assert_allclose(got, np.arange(1, S + 1))
 
 
+def test_insert_compact_bucket_exact():
+    """The pre-allocation rank<S compaction path (ops/insert.py) is exact vs
+    the full-size path, both when the eligible set fits the budget and when
+    it overflows into the fallback branch."""
+    cfg = tiny_cfg()
+    state = init_state(cfg, jax.random.key(0))
+    rng = np.random.default_rng(3)
+    M = 512
+    span = np.asarray(
+        [cfg.nx, cfg.ny, cfg.nz], np.float32) * cfg.voxel_resolution
+    pos = jnp.asarray(
+        (rng.random((M, 3)) * 0.9 * span - 0.45 * span).astype(np.float32)
+    ) + jnp.asarray(state.sensor_pos)
+    vel = jnp.asarray(rng.normal(size=(M, 3)).astype(np.float32))
+    w = jnp.asarray(rng.random(M).astype(np.float32))
+    valid = jnp.asarray(rng.random(M) < 0.8)
+    for budget in (64, 8):  # fits / overflows (rank<S survivors vs budget)
+        full = insert_particles(
+            state.particles, cfg, pos=pos, vel=vel, weight=w, valid=valid,
+            origin=state.origin, flag=jnp.uint8(3), t=1.5, compact_to=None,
+        )
+        bucketed = insert_particles(
+            state.particles, cfg, pos=pos, vel=vel, weight=w, valid=valid,
+            origin=state.origin, flag=jnp.uint8(3), t=1.5, compact_to=budget,
+        )
+        for f in ("flags", "px", "py", "pz", "vx", "vy", "vz", "weight", "t"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, f)), np.asarray(getattr(bucketed, f)),
+                err_msg=f"{f} budget={budget}",
+            )
+
+
 def test_insert_drops_out_of_window():
     cfg = tiny_cfg()
     state = init_state(cfg, jax.random.key(0))
