@@ -139,27 +139,23 @@ def gather_columns(arrays, idx: jnp.ndarray):
 
     XLA TPU gathers serialize per index row (~7 ns each, docs/PERF.md), so
     ``F`` separate ``[M]`` gathers cost ``F`` times one ``[M, F]`` row gather
-    from a stacked ``[N, F]`` operand -- the stack itself is a cheap
-    contiguous relayout (measured 3.6x at F=8, M=32k, N=1.6M).  All planes
-    are staged through i32 (f32 planes by bitcast), so every dtype round-trips
-    exactly.  Returns columns in the input dtypes.
+    from a stacked ``[N, F]`` operand (measured 3.6x at F=8, M=32k, N=1.6M).
+    Only pays off when ``M`` is large enough to amortize the interleaving
+    stack pass (~an HBM round trip of the F planes): use for M >= ~16k.
+
+    All planes are staged through f32 WITHOUT bitcasting (an i32-staged
+    variant measured 2.5x slower: the bitcasts block XLA from fusing the
+    stack into one relayout pass), so integer/bool planes must hold values
+    exactly representable in f32 (|v| < 2^24 -- true for voxel cell ids,
+    pyramid ids and flags at every supported map size; NEVER pass flat pool
+    indices, which exceed 2^24 on large maps).  Returns columns cast back
+    to the input dtypes.
     """
-
-    def to_i32(a):
-        a = a.ravel()
-        if a.dtype == jnp.float32:
-            return jax.lax.bitcast_convert_type(a, jnp.int32)
-        return a.astype(jnp.int32)
-
-    big = jnp.stack([to_i32(a) for a in arrays], axis=1)
+    big = jnp.stack([a.ravel().astype(jnp.float32) for a in arrays], axis=1)
     out = big[idx]  # [M, F] one row gather
-
-    def back(col, a):
-        if a.dtype == jnp.float32:
-            return jax.lax.bitcast_convert_type(col, jnp.float32)
-        return col.astype(a.dtype)
-
-    return tuple(back(out[:, i], a) for i, a in enumerate(arrays))
+    return tuple(
+        out[:, i].astype(a.dtype) for i, a in enumerate(arrays)
+    )
 
 
 def select_rows(table: jnp.ndarray, row_idx: jnp.ndarray, n_rows: int):

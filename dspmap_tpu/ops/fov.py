@@ -273,10 +273,13 @@ def rebin_and_register(
     n_before = jnp.sum(vacated.valid)
 
     new_flat, keep_ins = allocate_slots(vacated, mov_cell, mov_ranks, mov_ok)
-    mvx, mvy, mvz = gather_columns(
-        (particles.vx, particles.vy, particles.vz), safe_src
+    cols_m = (
+        px[mov_i], py[mov_i], pz[mov_i],
+        particles.vx.ravel()[safe_src],
+        particles.vy.ravel()[safe_src],
+        particles.vz.ravel()[safe_src],
+        w[mov_i],
     )
-    cols_m = (px[mov_i], py[mov_i], pz[mov_i], mvx, mvy, mvz, w[mov_i])
     new_particles = scatter_candidates(
         vacated, new_flat, cols_m, jnp.uint8(1), update_time
     )

@@ -167,14 +167,14 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     # ---- future-status prediction (dsp_dynamic.h:950-964) --------------
     future = future_in + static_contrib[:, None]
 
+    # Mover buffers are small (<= mover_capacity = 8k), so separate gathers
+    # beat a stacked row gather here: the pool-sized interleave pass cannot
+    # amortize below ~16k rows (see gather_columns).
     if future_movers is not None:
         fm_flat, fm_ok, fm_dropped = future_movers
         idx = jnp.minimum(fm_flat, S * V - 1)
-        fl, m_px, m_py, m_pz, m_vx, m_vy, m_vz, wgt = gather_columns(
-            (particles.flags, particles.px, particles.py, particles.pz,
-             particles.vx, particles.vy, particles.vz, particles.weight),
-            idx,
-        )
+        fl = particles.flags.ravel()[idx]
+        wgt = particles.weight.ravel()[idx]
         sel = (
             fm_ok
             & (fl != 0)
@@ -187,11 +187,13 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
         idx, sel, n_moving, n_overflow = compact_mask(
             moving, cfg.mover_capacity
         )
-        m_px, m_py, m_pz, m_vx, m_vy, m_vz, wgt = gather_columns(
-            (particles.px, particles.py, particles.pz,
-             particles.vx, particles.vy, particles.vz, particles.weight),
-            idx,
-        )
+        wgt = particles.weight.ravel()[idx]
+    m_px = particles.px.ravel()[idx]
+    m_py = particles.py.ravel()[idx]
+    m_pz = particles.pz.ravel()[idx]
+    m_vx = particles.vx.ravel()[idx]
+    m_vy = particles.vy.ravel()[idx]
+    m_vz = particles.vz.ravel()[idx]
     m_w = jnp.where(sel, wgt, 0.0)
 
     taus = jnp.asarray(cfg.prediction_horizons, jnp.float32)  # [T]
