@@ -133,31 +133,6 @@ def segment_counts(ids: jnp.ndarray, valid: jnp.ndarray, num_segments: int) -> j
     )
 
 
-def gather_columns(arrays, idx: jnp.ndarray):
-    """Gather the same positions from several equally-shaped pool planes as
-    ONE stacked row gather.
-
-    XLA TPU gathers serialize per index row (~7 ns each, docs/PERF.md), so
-    ``F`` separate ``[M]`` gathers cost ``F`` times one ``[M, F]`` row gather
-    from a stacked ``[N, F]`` operand (measured 3.6x at F=8, M=32k, N=1.6M).
-    Only pays off when ``M`` is large enough to amortize the interleaving
-    stack pass (~an HBM round trip of the F planes): use for M >= ~16k.
-
-    All planes are staged through f32 WITHOUT bitcasting (an i32-staged
-    variant measured 2.5x slower: the bitcasts block XLA from fusing the
-    stack into one relayout pass), so integer/bool planes must hold values
-    exactly representable in f32 (|v| < 2^24 -- true for voxel cell ids,
-    pyramid ids and flags at every supported map size; NEVER pass flat pool
-    indices, which exceed 2^24 on large maps).  Returns columns cast back
-    to the input dtypes.
-    """
-    big = jnp.stack([a.ravel().astype(jnp.float32) for a in arrays], axis=1)
-    out = big[idx]  # [M, F] one row gather
-    return tuple(
-        out[:, i].astype(a.dtype) for i, a in enumerate(arrays)
-    )
-
-
 def select_rows(table: jnp.ndarray, row_idx: jnp.ndarray, n_rows: int):
     """``out[...] = table[row_idx[...], ...]`` for a *small* leading axis.
 

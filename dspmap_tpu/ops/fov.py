@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import (compact_and_group, compact_mask, gather_columns,
+from .common import (compact_and_group, compact_mask,
                      group_ranks, sort_by_destination)
 
 
@@ -240,16 +240,22 @@ def rebin_and_register(
     cap = cfg.fov_buffer_capacity
     m_cap = cfg.mover_capacity
 
-    mask = sw.mover | sw.fov | sw.moving
-    idx, c_valid, n_sel, n_comb_over = compact_mask(mask, cap)
-    (is_mover, is_fov, is_moving, cell, pyr, px, py, pz, w) = gather_columns(
-        (sw.mover, sw.fov, sw.moving, sw.new_cell, sw.pyr,
-         particles.px, particles.py, particles.pz, particles.weight),
-        idx,
-    )
-    is_mover = is_mover & c_valid
-    is_fov = is_fov & c_valid
-    is_moving = is_moving & c_valid
+    idx, c_valid, n_sel, n_comb_over = compact_mask(sw.candidate, cap)
+    # Six separate capacity-sized gathers: the four discrete fields ride one
+    # packed `tags` plane (already fused into the sweep pass), so no
+    # interleaving stack of pool planes is ever materialized (the stacked
+    # [N, F] row-gather formulation cost ~2.2 ms/frame here; see
+    # docs/PERF.md round-2 log).
+    tags = sw.tags.ravel()[idx]
+    cell = sw.new_cell.ravel()[idx]
+    px = particles.px.ravel()[idx]
+    py = particles.py.ravel()[idx]
+    pz = particles.pz.ravel()[idx]
+    w = particles.weight.ravel()[idx]
+    is_mover = ((tags & 1) != 0) & c_valid
+    is_fov = ((tags & 2) != 0) & c_valid
+    is_moving = ((tags & 4) != 0) & c_valid
+    pyr = tags >> 4
     flat0 = jnp.where(c_valid, idx, S * V)
 
     total_movers = jnp.sum(sw.mover)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import I32_MAX, compact_mask, gather_columns, sort_by_destination
+from .common import I32_MAX, compact_mask, sort_by_destination
 
 
 def empty_slot_lookup(flags, cell, ranks):
@@ -220,7 +220,11 @@ def insert_particles(
             ranks_c = ranks_sorted[c_pos]
             src = order[c_pos]  # original candidate index
             flat_c, _ = allocate_slots(particles, cell_c, ranks_c, c_valid)
-            cols_c = gather_columns(cols, src)
+            # pos/vel are [M, 3] already: two native row gathers + one flat
+            # gather beat a 7-plane interleaving stack (docs/PERF.md).
+            pos_c, vel_c, w_c = pos[src], vel[src], weight[src]
+            cols_c = (pos_c[:, 0], pos_c[:, 1], pos_c[:, 2],
+                      vel_c[:, 0], vel_c[:, 1], vel_c[:, 2], w_c)
             return scatter_candidates(
                 particles, flat_c, cols_c, flag, t, None
             )

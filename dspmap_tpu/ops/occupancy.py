@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask, gather_columns, select_rows
+from .common import compact_mask, select_rows
 from ..state import FLAG_VALID
 
 

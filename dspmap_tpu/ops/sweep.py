@@ -30,16 +30,43 @@ class SweepOut(NamedTuple):
     py: jnp.ndarray
     pz: jnp.ndarray
     flags: jnp.ndarray  # u8: 0 where the particle left the window
-    mover: jnp.ndarray  # bool: storage cell changed
     new_cell: jnp.ndarray  # i32 storage cell of the advanced position
-    pyr: jnp.ndarray  # i32 pyramid cell (clipped)
-    fov: jnp.ndarray  # bool: valid & in FOV
-    moved_out: jnp.ndarray  # bool: valid & left the window
-    #: valid & inside & nonzero velocity -- the future-status scatter's
-    #: candidate superset (occupancy re-checks flags/newborn/cull at its
-    #: own point in the frame; velocities cannot change in between on the
-    #: fused-sweep configurations)
-    moving: jnp.ndarray
+    #: i32 pack of the five discrete per-slot outcomes:
+    #: ``mover | fov<<1 | moving<<2 | moved_out<<3 | pyramid_cell<<4``,
+    #: zero when no outcome bit is set.  One plane instead of five: the
+    #: candidate gather touches a single pool plane (a 32k-row gather costs
+    #: the same per plane whatever it holds, docs/PERF.md) and the bool
+    #: planes never materialize in HBM -- every other consumer is a fused
+    #: elementwise/reduction op on the properties below.
+    tags: jnp.ndarray
+
+    @property
+    def mover(self) -> jnp.ndarray:  # bool: storage cell changed
+        return (self.tags & 1) != 0
+
+    @property
+    def fov(self) -> jnp.ndarray:  # bool: valid & inside & in FOV
+        return (self.tags & 2) != 0
+
+    @property
+    def moving(self) -> jnp.ndarray:
+        #: valid & inside & nonzero velocity -- the future-status scatter's
+        #: candidate superset (occupancy re-checks flags/newborn/cull at its
+        #: own point in the frame; velocities cannot change in between on
+        #: the fused-sweep configurations)
+        return (self.tags & 4) != 0
+
+    @property
+    def moved_out(self) -> jnp.ndarray:  # bool: valid & left the window
+        return (self.tags & 8) != 0
+
+    @property
+    def pyr(self) -> jnp.ndarray:  # i32 pyramid cell (clipped; 0 when dead)
+        return self.tags >> 4
+
+    @property
+    def candidate(self) -> jnp.ndarray:  # bool: mover | fov | moving
+        return (self.tags & 7) != 0
 
 
 def sweep_reference(
@@ -86,8 +113,15 @@ def sweep_reference(
             | (particles.vz != 0.0)
         )
     )
-    return SweepOut(px, py, pz, flags, mover, new_cell, pyr, fov, moved_out,
-                    moving)
+    packed = (
+        mover.astype(jnp.int32)
+        | (fov.astype(jnp.int32) << 1)
+        | (moving.astype(jnp.int32) << 2)
+        | (moved_out.astype(jnp.int32) << 3)
+        | (pyr << 4)
+    )
+    tags = jnp.where(mover | fov | moving | moved_out, packed, 0)
+    return SweepOut(px, py, pz, flags, new_cell, tags)
 
 
 def sweep(particles, cfg: MapConfig, dt, origin, sensor_pos, quat) -> SweepOut:
