@@ -177,6 +177,15 @@ class MapConfig:
     #: element-exact vs the XLA path (tests/test_pallas.py).  Ignored on
     #: CPU backends.
     use_pallas_occupancy: bool = True
+    #: maintain the per-particle last-update-time plane.  The reference
+    #: stores this field but never reads it (``voxels_with_particle[..][8]``
+    #: is write-only, dsp_dynamic.h:787,1194 -- no consumer anywhere), and
+    #: neither does any output here (the CSV format has no time column).
+    #: Off by default: skipping the ``t`` writes removes one plane from the
+    #: insert scatters, the measurement-update writeback and the resample
+    #: copy placement (~0.3 ms/frame).  Turn on to keep the plane current
+    #: (e.g. for custom telemetry over checkpoints).
+    record_particle_time: bool = False
     #: global capacity of the in-FOV particle buffer; ``None`` derives
     #: ``min(n_pyramids * pyramid_slots, 2^15)``.  Overflow particles keep
     #: their weight but skip the measurement update that frame (the

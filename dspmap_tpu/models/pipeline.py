@@ -136,7 +136,8 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 )
                 particles, fovbin, future_movers, fov_stats = (
                     rebin_and_register(
-                        particles, cfg, sw, frame.sensor_pos, update_time
+                        particles, cfg, sw, frame.sensor_pos, update_time,
+                        origin=origin,
                     )
                 )
                 rebin_stats = {}

@@ -142,7 +142,7 @@ def particle_birth(
         valid=valid,
         origin=origin,
         flag=FLAG_NEWBORN,
-        t=update_time,
+        t=update_time if cfg.record_particle_time else None,
         compact_to=cfg.birth_compact_capacity,
     )
     stats = {

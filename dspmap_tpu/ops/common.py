@@ -20,7 +20,7 @@ import jax.numpy as jnp
 I32_MAX = jnp.int32(2**31 - 1)
 
 
-def compact_mask(mask: jnp.ndarray, capacity: int, row: int = 1024):
+def compact_mask(mask: jnp.ndarray, capacity: int, row: int = 256):
     """Compact the True positions of a flat boolean ``mask`` into a fixed-size
     index buffer (first-to-last order).
 
@@ -56,7 +56,11 @@ def compact_mask(mask: jnp.ndarray, capacity: int, row: int = 1024):
     out_pos = jnp.arange(capacity, dtype=jnp.int32)
     row_of = jnp.searchsorted(ends, out_pos, side="right", method="sort")
     row_of = jnp.minimum(row_of, n_rows - 1).astype(jnp.int32)
-    off = out_pos - (ends[row_of] - counts[row_of])
+    # One random gather of the run starts instead of two (ends AND counts):
+    # capacity-sized random gathers cost ~7 ns/element on this TPU whatever
+    # the table size (docs/PERF.md), so every avoided lookup plane matters.
+    starts = ends - counts
+    off = out_pos - starts[row_of]
     src_lane = packed_lane.ravel()[row_of * row + jnp.minimum(off, row - 1)]
     indices = row_of * row + jnp.minimum(src_lane, row - 1)
 

@@ -210,6 +210,7 @@ def rebin_and_register(
     sw,
     sensor_pos: jnp.ndarray,
     update_time,
+    origin: jnp.ndarray | None = None,
 ):
     """Fused relocation + FOV registration for the fused-sweep path
     (limit-xy / static configurations): ONE pool-sized compaction over
@@ -241,17 +242,27 @@ def rebin_and_register(
     m_cap = cfg.mover_capacity
 
     idx, c_valid, n_sel, n_comb_over = compact_mask(sw.candidate, cap)
-    # Six separate capacity-sized gathers: the four discrete fields ride one
+    # Five separate capacity-sized gathers: the four discrete fields ride one
     # packed `tags` plane (already fused into the sweep pass), so no
     # interleaving stack of pool planes is ever materialized (the stacked
     # [N, F] row-gather formulation cost ~2.2 ms/frame here; see
     # docs/PERF.md round-2 log).
     tags = sw.tags.ravel()[idx]
-    cell = sw.new_cell.ravel()[idx]
     px = particles.px.ravel()[idx]
     py = particles.py.ravel()[idx]
     pz = particles.pz.ravel()[idx]
     w = particles.weight.ravel()[idx]
+    if origin is not None:
+        # Recompute the storage cell from the gathered (advanced) positions
+        # with the sweep's exact formula (ops/sweep.py:86-96) -- bit-identical
+        # and elementwise on the buffer, so the pool-sized ``new_cell`` plane
+        # is never gathered (and XLA dead-code-eliminates it from the fused
+        # graph entirely; a 32k random gather costs ~0.23 ms, docs/PERF.md).
+        wx, wy, wz = geometry.world_voxel_planar(px, py, pz, cfg)
+        rx, ry, rz = wx - origin[0], wy - origin[1], wz - origin[2]
+        cell = geometry.storage_index_from_rel(rx, ry, rz, origin, cfg)
+    else:
+        cell = sw.new_cell.ravel()[idx]
     is_mover = ((tags & 1) != 0) & c_valid
     is_fov = ((tags & 2) != 0) & c_valid
     is_moving = ((tags & 4) != 0) & c_valid
@@ -287,7 +298,8 @@ def rebin_and_register(
         w[mov_i],
     )
     new_particles = scatter_candidates(
-        vacated, new_flat, cols_m, jnp.uint8(1), update_time
+        vacated, new_flat, cols_m, jnp.uint8(1),
+        update_time if cfg.record_particle_time else None,
     )
     n_inserted = jnp.sum(new_particles.valid) - n_before
 

@@ -113,7 +113,9 @@ def scatter_candidates(
             .set(jnp.uint8(flag), mode="drop", unique_indices=True)
             .reshape(S, V)
         )
-        tt = (
+        # t is write-only state (cfg.record_particle_time); callers pass
+        # t=None to skip the plane scatter entirely.
+        tt = particles.t if t is None else (
             particles.t.ravel()
             .at[s_flat]
             .set(jnp.float32(t), mode="drop", unique_indices=True)

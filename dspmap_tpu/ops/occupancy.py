@@ -124,7 +124,7 @@ def _pool_pass_xla(particles, cfg: MapConfig):
         vy=place(particles.vy),
         vz=place(particles.vz),
         weight=new_w,
-        t=place(particles.t),
+        t=place(particles.t) if cfg.record_particle_time else particles.t,
     )
     return new_particles, weight_sum, n_old, vel_sums, static_contrib, moving
 
@@ -151,7 +151,9 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
         from .pallas.occupancy import occupancy_pool_pass
 
         fields, weight_sum, n_old, vel_sums, static_contrib, moving = (
-            occupancy_pool_pass(particles, cfg)
+            occupancy_pool_pass(
+                particles, cfg, with_moving=future_movers is None
+            )
         )
         new_particles = dataclasses.replace(particles, **fields)
     else:

@@ -29,12 +29,25 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import MapConfig
 
 
-def _kernel(flags_ref, w_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
-            vz_ref, t_ref,
-            oflags_ref, ow_ref, opx_ref, opy_ref, opz_ref, ovx_ref, ovy_ref,
-            ovz_ref, ot_ref, omoving_ref, ows_ref, onold_ref, ovsx_ref,
-            ovsy_ref, ovsz_ref, ostatic_ref,
-            *, cfg: MapConfig, S: int):
+def _kernel(*refs, cfg: MapConfig, S: int, with_t: bool, with_moving: bool):
+    # Optional planes (both statically configured): the particle-time plane
+    # rides along only when ``cfg.record_particle_time`` (write-only state,
+    # see config.py), and the [S, L] ``moving`` mask is emitted only when the
+    # caller has no pre-compacted future-mover set -- a Pallas output cannot
+    # be dead-code-eliminated by XLA, so unused planes must not exist.
+    n_in = 8 + with_t
+    (flags_ref, w_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
+     vz_ref) = refs[:8]
+    t_ref = refs[8] if with_t else None
+    outs = refs[n_in:]
+    (oflags_ref, ow_ref, opx_ref, opy_ref, opz_ref, ovx_ref, ovy_ref,
+     ovz_ref) = outs[:8]
+    k = 8
+    ot_ref = outs[k] if with_t else None
+    k += with_t
+    omoving_ref = outs[k] if with_moving else None
+    k += with_moving
+    ows_ref, onold_ref, ovsx_ref, ovsy_ref, ovsz_ref, ostatic_ref = outs[k:]
     # flag logic in i32: the VPU has no 8-bit equality compare
     flags = flags_ref[...].astype(jnp.int32)
     w = w_ref[...]
@@ -58,7 +71,8 @@ def _kernel(flags_ref, w_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
     ostatic_ref[...] = jnp.sum(w * (old & ~moving).astype(jnp.float32), axis=0)
     ows_ref[...] = weight_sum
     onold_ref[...] = n_old
-    omoving_ref[...] = moving
+    if with_moving:
+        omoving_ref[...] = moving
 
     # ---- systematic resampling (dsp_dynamic.h:986-1055) ----------------
     count = jnp.sum(fvalid, axis=0)
@@ -122,10 +136,11 @@ def _kernel(flags_ref, w_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
     oflags_ref[...] = new_flags.astype(jnp.uint8)
     ow_ref[...] = new_w
 
-    for f_ref, o_ref in ((px_ref, opx_ref), (py_ref, opy_ref),
-                         (pz_ref, opz_ref), (vx_ref, ovx_ref),
-                         (vy_ref, ovy_ref), (vz_ref, ovz_ref),
-                         (t_ref, ot_ref)):
+    pairs = [(px_ref, opx_ref), (py_ref, opy_ref), (pz_ref, opz_ref),
+             (vx_ref, ovx_ref), (vy_ref, ovy_ref), (vz_ref, ovz_ref)]
+    if with_t:
+        pairs.append((t_ref, ot_ref))
+    for f_ref, o_ref in pairs:
         field = f_ref[...]
         sel = jnp.broadcast_to(field[0][None, :], field.shape)
         for j in range(1, S):
@@ -133,17 +148,24 @@ def _kernel(flags_ref, w_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
         o_ref[...] = jnp.where(filled, sel, field)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "with_moving")
+)
+def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
+                        with_moving: bool = True):
     """One-pass cull + aggregates + resample over the pool.
 
     Returns ``(new_fields dict, weight_sum[V], n_old[V], vel_sums[V,3],
-    static_contrib[V], moving[S, V])`` -- the caller (ops/occupancy.py)
-    derives vel_avg, the future grids and the stats.
+    static_contrib[V], moving[S, V] | None)`` -- the caller
+    (ops/occupancy.py) derives vel_avg, the future grids and the stats.
+    ``with_moving=False`` elides the [S, V] moving-mask output (callers with
+    a pre-compacted future-mover set never read it); the particle-time plane
+    is carried only when ``cfg.record_particle_time``.
     """
     S, V = particles.flags.shape
     L = 2048 if S <= 32 else 1024
     grid = (pl.cdiv(V, L),)
+    with_t = bool(cfg.record_particle_time)
 
     def bspec():
         return pl.BlockSpec((S, L), lambda b: (0, b), memory_space=pltpu.VMEM)
@@ -151,22 +173,38 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False):
     def vspec():
         return pl.BlockSpec((L,), lambda b: (b,), memory_space=pltpu.VMEM)
 
+    n_planes = 8 + with_t  # in: flags,w,pos,vel[,t]; out: same + aggregates
+    out_shape = (
+        [jax.ShapeDtypeStruct((S, V), jnp.uint8)]
+        + [jax.ShapeDtypeStruct((S, V), jnp.float32)
+           for _ in range(n_planes - 1)]
+        + ([jax.ShapeDtypeStruct((S, V), jnp.bool_)] if with_moving else [])
+        + [jax.ShapeDtypeStruct((V,), jnp.float32) for _ in range(6)]
+    )
+    operands = [particles.flags, particles.weight, particles.px, particles.py,
+                particles.pz, particles.vx, particles.vy, particles.vz]
+    if with_t:
+        operands.append(particles.t)
+
     outs = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg, S=S),
+        functools.partial(_kernel, cfg=cfg, S=S, with_t=with_t,
+                          with_moving=with_moving),
         grid=grid,
-        in_specs=[bspec() for _ in range(9)],
-        out_specs=[bspec() for _ in range(10)] + [vspec() for _ in range(6)],
-        out_shape=(
-            [jax.ShapeDtypeStruct((S, V), jnp.uint8)]
-            + [jax.ShapeDtypeStruct((S, V), jnp.float32) for _ in range(8)]
-            + [jax.ShapeDtypeStruct((S, V), jnp.bool_)]
-            + [jax.ShapeDtypeStruct((V,), jnp.float32) for _ in range(6)]
+        in_specs=[bspec() for _ in range(n_planes)],
+        out_specs=(
+            [bspec() for _ in range(n_planes + with_moving)]
+            + [vspec() for _ in range(6)]
         ),
+        out_shape=out_shape,
         interpret=interpret,
-    )(particles.flags, particles.weight, particles.px, particles.py,
-      particles.pz, particles.vx, particles.vy, particles.vz, particles.t)
-    (flags, w, px, py, pz, vx, vy, vz, t, moving,
-     ws, n_old, vsx, vsy, vsz, static_contrib) = outs
+    )(*operands)
+    flags, w, px, py, pz, vx, vy, vz = outs[:8]
+    k = 8
+    t = outs[k] if with_t else particles.t
+    k += with_t
+    moving = outs[k] if with_moving else None
+    k += with_moving
+    ws, n_old, vsx, vsy, vsz, static_contrib = outs[k:]
     fields = dict(flags=flags, weight=w, px=px, py=py, pz=pz,
                   vx=vx, vy=vy, vz=vz, t=t)
     return fields, ws, n_old, (vsx, vsy, vsz), static_contrib, moving

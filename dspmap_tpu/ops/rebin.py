@@ -75,7 +75,7 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t):
     new_particles, _, _ = insert_sorted(
         vacated, cfg,
         cell=cell, ranks=ranks, payload=payload, valid=sel_valid,
-        flag=jnp.uint8(1), t=t,
+        flag=jnp.uint8(1), t=t if cfg.record_particle_time else None,
     )
     n_kept = jnp.minimum(n_movers, cfg.mover_capacity)
     stats = {

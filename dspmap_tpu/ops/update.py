@@ -318,10 +318,13 @@ def measurement_update(
         n_updated = n_updated + jnp.sum(upd_sp)
 
     weight = particles.weight.ravel().at[slot].set(vals_w, mode="drop")
-    t = particles.t.ravel().at[slot].set(update_time, mode="drop")
-    new_particles = dataclasses.replace(
-        particles, weight=weight.reshape(S, V), t=t.reshape(S, V)
-    )
+    if cfg.record_particle_time:
+        t = particles.t.ravel().at[slot].set(update_time, mode="drop")
+        new_particles = dataclasses.replace(
+            particles, weight=weight.reshape(S, V), t=t.reshape(S, V)
+        )
+    else:
+        new_particles = dataclasses.replace(particles, weight=weight.reshape(S, V))
     stats = {
         "updated_particles": n_updated,
         "obs_spill_overflow": obs.spill_overflow,
