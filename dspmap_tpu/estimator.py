@@ -80,8 +80,15 @@ def estimate_velocities(
     ground = cloud_world[:, 2] <= cfg.voxel_filter_resolution  # dsp_dynamic.h:1393
     nonground = cloud_valid & ~ground
 
+    # NOTE: compacting non-ground points to a 2048 budget before building
+    # the O(n^2) adjacency was measured a net REGRESSION here: the
+    # ``lax.cond`` fallback structure introduced a 0.62 ms device copy that
+    # outweighed the smaller adjacency (whose sweeps barely got cheaper --
+    # the label-propagation cost is dispatch-bound, not bandwidth-bound at
+    # these sizes).  docs/PERF.md "dead ends".
     labels = euclidean_cluster(
-        cloud_world, nonground, cfg.cluster_tolerance, cfg.cluster_propagation_iters
+        cloud_world, nonground, cfg.cluster_tolerance,
+        cfg.cluster_propagation_iters,
     )  # [P] root index, P = invalid
 
     # Cluster features keyed by root point index.

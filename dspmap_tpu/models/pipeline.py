@@ -136,8 +136,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 )
                 particles, fovbin, future_movers, fov_stats = (
                     rebin_and_register(
-                        particles, cfg, sw, frame.sensor_pos, update_time,
-                        origin=origin,
+                        particles, cfg, sw, frame.sensor_pos, update_time
                     )
                 )
                 rebin_stats = {}

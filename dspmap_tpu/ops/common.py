@@ -8,8 +8,10 @@ single stable sort keyed by the selection bit runs in ~7 ms and a 131k-entry
 scatter with unique indices in ~0.3 ms.  Masked compaction is therefore
 expressed as one argsort whose key packs (selected?, group-id), which also
 yields the group-sorted order the slot-allocation step needs -- one fused
-pass instead of compact + sort.  (A Pallas stream-compaction kernel replaces
-the argsort on TPU where available; see ops/pallas/compact.py.)
+pass instead of compact + sort.  (A Pallas stream-compaction kernel was
+prototyped and measured at parity with this pure-XLA formulation, then
+removed; Mosaic exposes no vectorized VMEM scatter, so the kernel could not
+beat the argsort.  docs/PERF.md "Pallas kernels".)
 """
 
 from __future__ import annotations

@@ -210,7 +210,6 @@ def rebin_and_register(
     sw,
     sensor_pos: jnp.ndarray,
     update_time,
-    origin: jnp.ndarray | None = None,
 ):
     """Fused relocation + FOV registration for the fused-sweep path
     (limit-xy / static configurations): ONE pool-sized compaction over
@@ -252,17 +251,6 @@ def rebin_and_register(
     py = particles.py.ravel()[idx]
     pz = particles.pz.ravel()[idx]
     w = particles.weight.ravel()[idx]
-    if origin is not None:
-        # Recompute the storage cell from the gathered (advanced) positions
-        # with the sweep's exact formula (ops/sweep.py:86-96) -- bit-identical
-        # and elementwise on the buffer, so the pool-sized ``new_cell`` plane
-        # is never gathered (and XLA dead-code-eliminates it from the fused
-        # graph entirely; a 32k random gather costs ~0.23 ms, docs/PERF.md).
-        wx, wy, wz = geometry.world_voxel_planar(px, py, pz, cfg)
-        rx, ry, rz = wx - origin[0], wy - origin[1], wz - origin[2]
-        cell = geometry.storage_index_from_rel(rx, ry, rz, origin, cfg)
-    else:
-        cell = sw.new_cell.ravel()[idx]
     is_mover = ((tags & 1) != 0) & c_valid
     is_fov = ((tags & 2) != 0) & c_valid
     is_moving = ((tags & 4) != 0) & c_valid
@@ -273,8 +261,14 @@ def rebin_and_register(
     total_fov = jnp.sum(sw.fov)
 
     # ---- movers: compact to the mover buffer and re-insert -------------
+    # The destination cell is only consumed by the (much smaller) mover
+    # buffer, so the ``new_cell`` plane is gathered at mover size rather
+    # than combined-buffer size (gathers cost ~7 ns/element whatever the
+    # table, docs/PERF.md; deriving the cell arithmetically instead fused
+    # into the gather loop and cost 0.82 ms -- measured dead end).
     mov_i, mov_ok, n_mov, mov_buf_over = compact_mask(is_mover, m_cap)
-    mov_cell = jnp.where(mov_ok, cell[mov_i], V)
+    mov_src = jnp.minimum(flat0[mov_i], S * V - 1)
+    mov_cell = jnp.where(mov_ok, sw.new_cell.ravel()[mov_src], V)
     order, _, ranks_sorted = sort_by_destination(mov_cell, mov_ok)
     mov_ranks = (
         jnp.zeros((m_cap,), jnp.int32).at[order].set(ranks_sorted,

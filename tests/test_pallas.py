@@ -11,7 +11,6 @@ import pytest
 import dspmap_tpu as dm
 from dspmap_tpu.ops.sweep import sweep_reference
 from dspmap_tpu.ops.pallas.sweep import sweep_pallas
-from dspmap_tpu.ops.pallas.compact import compact_indices_pallas
 
 
 def _cfg(**kw):
@@ -65,16 +64,6 @@ def test_sweep_kernel_matches_reference(model):
         else:
             frac = np.mean(a.astype(np.int64) != b.astype(np.int64))
             assert frac < 1e-3, (name, frac)
-
-
-def test_compact_kernel_matches_nonzero():
-    rng = np.random.default_rng(0)
-    mask = rng.random(100_000) < 0.07
-    idx, count = compact_indices_pallas(jnp.asarray(mask), 16384,
-                                        interpret=True)
-    expect = np.nonzero(mask)[0]
-    assert int(count) == len(expect)
-    np.testing.assert_array_equal(np.asarray(idx)[: int(count)], expect)
 
 
 @pytest.mark.parametrize("safety", [2, 5])
