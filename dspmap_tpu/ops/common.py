@@ -6,23 +6,24 @@ measured TPU costs (see docs/PERF.md): XLA scatter with a 3.1M-entry source
 serializes (~19 ms), ``searchsorted`` lowers to a gather loop (~21 ms), but a
 single stable sort keyed by the selection bit runs in ~7 ms and a 131k-entry
 scatter with unique indices in ~0.3 ms.  Masked compaction is therefore
-expressed as one argsort whose key packs (selected?, group-id), which also
-yields the group-sorted order the slot-allocation step needs -- one fused
-pass instead of compact + sort.  (A Pallas stream-compaction kernel was
-prototyped and measured at parity with this pure-XLA formulation, then
-removed; Mosaic exposes no vectorized VMEM scatter, so the kernel could not
-beat the argsort.  docs/PERF.md "Pallas kernels".)
+expressed through a u32 bitmask hierarchy: one bandwidth-bound pack reduce +
+``population_count`` prefix, then capacity-sized lookups (see
+:func:`compact_mask`).  (A Pallas stream-compaction kernel was prototyped
+and measured at parity with the earlier pure-XLA batched-sort formulation,
+then removed; Mosaic exposes no vectorized VMEM scatter, so a kernel cannot
+beat this.  docs/PERF.md "Pallas kernels".)
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 I32_MAX = jnp.int32(2**31 - 1)
 
 
-def compact_mask(mask: jnp.ndarray, capacity: int, row: int = 256):
+def compact_mask(mask: jnp.ndarray, capacity: int):
     """Compact the True positions of a flat boolean ``mask`` into a fixed-size
     index buffer (first-to-last order).
 
@@ -31,40 +32,62 @@ def compact_mask(mask: jnp.ndarray, capacity: int, row: int = 256):
     caller decides whether overflow means "drop" or "kill", mirroring the
     reference's drop-on-full semantics, dsp_dynamic.h:1198-1200).
 
-    Implementation (hierarchical, chosen from measured TPU costs): pack each
-    ``row``-wide tile with a batched minor-axis sort (vectorized bitonic
-    across thousands of rows, ~1 ms at 3.1M), locate each output position's
-    source row by searchsorted over the row-count prefix (sort method: one
-    small sort), then one ``capacity``-sized gather.  ~3x faster than a
-    full-pool stable argsort, ~7x faster than XLA's serialized
-    scatter-by-rank.
+    Implementation (bitmask hierarchy, chosen from measured TPU costs): pack
+    the mask into u32 words (one bandwidth-bound reduce -- replacing the
+    earlier 256-lane batched bitonic sort, ~0.8 ms at 3.1M), per-word counts
+    via ``population_count``, locate each output position's source word by
+    searchsorted over the count prefix (sort method: one small sort), then
+    two ``capacity``-sized gathers and a 32-step in-register bit-select.
     """
     mask = mask.ravel()
     n = mask.size
-    pad = (-n) % row
+    W = 32
+    pad = (-n) % W
     if pad:
         mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
-    rows = mask.reshape(-1, row)
-    n_rows = rows.shape[0]
-
-    lane = jnp.broadcast_to(
-        jnp.arange(row, dtype=jnp.int32)[None, :], rows.shape
+    bits = mask.reshape(-1, W)
+    n_words = bits.shape[0]
+    # Pack on the MXU: a minor-axis (cross-lane) u32 reduce lowers poorly on
+    # TPU, but a [Nw, 32] x [32, 2] f32 matmul packs both 16-bit halves in
+    # one systolic pass (each half < 2^16, exact in f32).
+    wcols = np.zeros((W, 2), np.float32)
+    wcols[:16, 0] = (1 << np.arange(16)).astype(np.float32)
+    wcols[16:, 1] = (1 << np.arange(16)).astype(np.float32)
+    halves = jnp.dot(
+        bits.astype(jnp.float32), jnp.asarray(wcols),
+        preferred_element_type=jnp.float32,
+    )  # [Nw, 2]
+    words = halves[:, 0].astype(jnp.uint32) | (
+        halves[:, 1].astype(jnp.uint32) << 16
     )
-    packed_lane = jnp.sort(jnp.where(rows, lane, row), axis=1)  # [Rw, row]
-    counts = jnp.sum(rows, axis=1, dtype=jnp.int32)  # [Rw]
+    counts = jax.lax.population_count(words).astype(jnp.int32)
     ends = jnp.cumsum(counts)
     n_selected = ends[-1]
 
     out_pos = jnp.arange(capacity, dtype=jnp.int32)
-    row_of = jnp.searchsorted(ends, out_pos, side="right", method="sort")
-    row_of = jnp.minimum(row_of, n_rows - 1).astype(jnp.int32)
-    # One random gather of the run starts instead of two (ends AND counts):
-    # capacity-sized random gathers cost ~7 ns/element on this TPU whatever
-    # the table size (docs/PERF.md), so every avoided lookup plane matters.
+    # Output position -> source word via scatter + forward fill: each
+    # nonempty word scatters its index at its output start, cummax fills the
+    # runs.  Cost scales with n_words at the ~3 ns/entry scatter rate --
+    # ~4x cheaper at pool size than a searchsorted(method="sort"), whose
+    # concatenated sort grows with n_words + capacity (measured).
     starts = ends - counts
-    off = out_pos - starts[row_of]
-    src_lane = packed_lane.ravel()[row_of * row + jnp.minimum(off, row - 1)]
-    indices = row_of * row + jnp.minimum(src_lane, row - 1)
+    word_of = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(counts > 0, starts, capacity)
+    ].max(
+        jnp.arange(n_words, dtype=jnp.int32), mode="drop",
+        unique_indices=True,
+    )
+    word_of = jax.lax.cummax(word_of)
+    off = out_pos - starts[word_of]
+    w = words[word_of]
+    # off-th set bit of w: 32-step select sweep, all in one VPU fusion.
+    prefix = jnp.zeros_like(out_pos)
+    lane = jnp.zeros_like(out_pos)
+    for b in range(W):
+        bit = ((w >> jnp.uint32(b)) & 1).astype(jnp.int32)
+        lane = jnp.where((bit == 1) & (prefix == off), b, lane)
+        prefix = prefix + bit
+    indices = word_of * W + lane
 
     valid = out_pos < n_selected
     n_kept = jnp.minimum(n_selected, capacity)
