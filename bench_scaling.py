@@ -7,6 +7,13 @@ Weak scaling: the map volume grows with the mesh (nz = 8 * n_devices), so
 per-device work is constant; reported efficiency = rate_N / (N * rate_1).
 
 Usage: python bench_scaling.py [--devices 1 2 4 8] [--frames 10]
+       [--impl gspmd|shardmap]
+
+``--impl shardmap`` runs the hand-scheduled collective path
+(parallel/shard_step.py) instead of the GSPMD-partitioned jit; comparing
+the two on the same mesh is the profile VERDICT/ROADMAP section 4 calls
+for (virtual-mesh numbers bound overheads only -- collective *transport*
+cost needs a real slice).
 """
 
 import argparse
@@ -18,6 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--impl", choices=["gspmd", "shardmap"], default="gspmd")
     args = ap.parse_args()
 
     import os
@@ -44,11 +52,16 @@ def main():
         )
         mesh = make_mesh(n_dev)
         state = shard_state(dm.init_state(cfg, jax.random.key(0)), mesh)
-        step = jax.jit(
-            dm.make_step(cfg),
-            in_shardings=(state_shardings(mesh, state), None),
-            donate_argnums=0,
-        )
+        if args.impl == "shardmap":
+            from dspmap_tpu.parallel import make_shardmap_step
+
+            step = make_shardmap_step(cfg, mesh)
+        else:
+            step = jax.jit(
+                dm.make_step(cfg),
+                in_shardings=(state_shardings(mesh, state), None),
+                donate_argnums=0,
+            )
         frames = []
         for pts, n, pos, quat, t in sim.generate_sequence(
             args.frames + 2, cfg, seed=0

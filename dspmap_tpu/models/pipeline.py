@@ -59,8 +59,17 @@ class StepOutput(NamedTuple):
     estimator_cloud: tuple
 
 
+#: step metrics that are computed from replicated inputs inside the
+#: shard_map fast path (psum-ing them would multiply by the mesh size);
+#: every other counter is a per-shard partial sum.
+_REPLICATED_METRICS = frozenset(
+    {"valid_points", "newborn_weight", "birth_candidates",
+     "obs_spill_overflow"}
+)
+
+
 def make_step(cfg: MapConfig, with_metrics: bool = True,
-              admission_control: bool = True):
+              admission_control: bool = True, shard=None):
     """Build the jittable per-frame transition for ``cfg``.
 
     ``with_metrics=False`` elides the ~20 observability reductions (about a
@@ -72,8 +81,25 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
     wrapper (dsp_dynamic.h:193-208) and runs the body unconditionally --
     for profiling only: the cond swallows per-op source attribution in
     device traces (every fusion reports the cond's line).
+
+    ``shard`` (an :class:`~..ops.common.ShardCtx`) builds the body for the
+    hand-scheduled ``shard_map`` fast path (``parallel.shard_step``): state
+    operands are this shard's slab, observations are replicated, and the
+    cross-shard points (C-normalizer psum, mover/future-mover exchange,
+    birth classification psum, metrics psum) run as explicit collectives.
+    Only the fused-sweep configurations (``limit_motion_to_xy_plane`` or
+    static) are supported -- the noisy general path runs under GSPMD
+    (``parallel.sharding.make_sharded_step``) instead.
     """
     cfg.validate()
+    if shard is not None and not (
+        cfg.limit_motion_to_xy_plane or cfg.motion_model == "static"
+    ):
+        raise NotImplementedError(
+            "the shard_map fast path covers the fused-sweep configurations; "
+            "use parallel.sharding.make_sharded_step (GSPMD) for noisy "
+            "propagation"
+        )
 
     def step(state: MapState, frame: Frame):
         q_ok = geometry.quaternion_is_valid(frame.quat)
@@ -129,14 +155,16 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                         ),
                     )
                 sw = sweep(
-                    particles, cfg, dt, origin, frame.sensor_pos, frame.quat
+                    particles, cfg, dt, origin, frame.sensor_pos, frame.quat,
+                    cell_base=0 if shard is None else shard.lo,
                 )
                 particles = dataclasses.replace(
                     particles, px=sw.px, py=sw.py, pz=sw.pz, flags=sw.flags
                 )
                 particles, fovbin, future_movers, fov_stats = (
                     rebin_and_register(
-                        particles, cfg, sw, frame.sensor_pos, update_time
+                        particles, cfg, sw, frame.sensor_pos, update_time,
+                        shard=shard,
                     )
                 )
                 rebin_stats = {}
@@ -152,7 +180,8 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
 
             # -- measurement update (dsp_dynamic.h:304,704-793) ---------
             particles, norm_coeff, upd_stats = measurement_update(
-                particles, fovbin, obs, cfg, expected_newborn, update_time
+                particles, fovbin, obs, cfg, expected_newborn, update_time,
+                axis_name=None if shard is None else shard.axis,
             )
 
             # -- particle birth (dsp_dynamic.h:315,796-921) -------------
@@ -167,12 +196,14 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 norm_coeff=norm_coeff,
                 origin=origin,
                 update_time=update_time,
+                shard=shard,
             )
 
             # -- occupancy + future + resample (dsp_dynamic.h:322,924) --
             particles, weight_sum, vel_avg, future, occ_stats = (
                 occupancy_and_resample(
-                    particles, cfg, origin, state.future, future_movers
+                    particles, cfg, origin, state.future, future_movers,
+                    shard=shard,
                 )
             )
 
@@ -203,6 +234,12 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 }
             else:
                 metrics = {"alive": occ_stats["alive"]}
+            if shard is not None:
+                metrics = {
+                    k: (v if k in _REPLICATED_METRICS
+                        else jax.lax.psum(v, shard.axis))
+                    for k, v in metrics.items()
+                }
             cloud = (est_out.points, est_out.vel, est_out.dynamic, est_out.valid)
             return new_state, metrics, cloud
 

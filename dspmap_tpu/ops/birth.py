@@ -52,8 +52,16 @@ def particle_birth(
     norm_coeff: jnp.ndarray,  # scalar: sum_z 1/C(z) from the update
     origin: jnp.ndarray,
     update_time,
+    shard=None,  # common.ShardCtx inside the shard_map fast path
 ):
-    """Returns ``(new_particles, stats)``."""
+    """Returns ``(new_particles, stats)``.
+
+    Shard_map fast path (``shard`` set): the DS classification sums are
+    computed from each shard's owned voxels and ``psum``-combined (the
+    estimator points are replicated, so every shard derives the identical
+    birth table from the identical RNG); each newborn candidate is then
+    inserted only by the shard owning its jittered destination voxel.
+    """
     P = est_points.shape[0]
     n_b = cfg.newborn_particles_per_point
 
@@ -66,10 +74,17 @@ def particle_birth(
     wv = geometry.world_voxel(est_points, cfg)
     in_map = geometry.in_window(wv, origin, cfg)
     point_valid = est_valid & in_map
-    cell = jnp.where(point_valid, geometry.storage_index(wv, cfg), 0)
+    cell_g = jnp.where(point_valid, geometry.storage_index(wv, cfg), 0)
+    V_local = particles.flags.shape[1]
+    if shard is None:
+        cell = cell_g
+        owned = point_valid
+    else:
+        owned = point_valid & shard.owns(cell_g, V_local)
+        cell = jnp.clip(cell_g - shard.lo, 0, V_local - 1)
 
     slot_flags = particles.flags[:, cell]  # [S, P]
-    considered = (slot_flags != 0) & (slot_flags != FLAG_NEWBORN)
+    considered = (slot_flags != 0) & (slot_flags != FLAG_NEWBORN) & owned
     l1 = (
         jnp.abs(particles.vx[:, cell])
         + jnp.abs(particles.vy[:, cell])
@@ -79,6 +94,10 @@ def particle_birth(
     w_static = jnp.sum(jnp.where(l1 < 0.1, w_slot, 0.0), axis=0)
     w_mid = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_slot, 0.0), axis=0)
     w_dyn = jnp.sum(jnp.where(l1 >= 0.5, w_slot, 0.0), axis=0)
+    if shard is not None:
+        w_static, w_mid, w_dyn = jax.lax.psum(
+            (w_static, w_mid, w_dyn), shard.axis
+        )
 
     total = w_static + w_mid + w_dyn
     p_static = (2.0 * w_static + w_mid) * 0.5
@@ -144,6 +163,7 @@ def particle_birth(
         flag=FLAG_NEWBORN,
         t=update_time if cfg.record_particle_time else None,
         compact_to=cfg.birth_compact_capacity,
+        cell_base=0 if shard is None else shard.lo,
     )
     stats = {
         "birth_candidates": jnp.sum(valid),

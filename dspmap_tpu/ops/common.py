@@ -16,11 +16,38 @@ beat this.  docs/PERF.md "Pallas kernels".)
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 I32_MAX = jnp.int32(2**31 - 1)
+
+
+class ShardCtx(NamedTuple):
+    """Map-axis SPMD context for the hand-scheduled ``shard_map`` fast path
+    (SURVEY.md section 2.6/7.1.7; the reference has no distributed machinery).
+
+    Inside ``shard_map`` every ``[S, V]``/``[V, ...]`` operand is this
+    shard's contiguous slab of the storage grid; ``lo`` is the slab's first
+    global storage cell, so ``global_cell - lo`` is the local column and
+    ownership is ``0 <= global_cell - lo < V_local``.
+    """
+
+    axis: str  #: mesh axis name (collectives run over it)
+    n_shards: int  #: static mesh size
+    lo: jnp.ndarray  #: i32 global cell offset of this shard's slab
+
+    def owns(self, cell: jnp.ndarray, v_local: int) -> jnp.ndarray:
+        local = cell - self.lo
+        return (local >= 0) & (local < v_local)
+
+    def gather_flat(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``all_gather`` a per-shard buffer and flatten the shard axis
+        (shard-major order -- the documented cross-shard arrival order)."""
+        g = jax.lax.all_gather(x, self.axis)
+        return g.reshape((-1,) + x.shape[1:])
 
 
 def compact_mask(mask: jnp.ndarray, capacity: int):

@@ -210,6 +210,7 @@ def rebin_and_register(
     sw,
     sensor_pos: jnp.ndarray,
     update_time,
+    shard=None,
 ):
     """Fused relocation + FOV registration for the fused-sweep path
     (limit-xy / static configurations): ONE pool-sized compaction over
@@ -232,6 +233,16 @@ def rebin_and_register(
     ``future_movers = (flat[m_cap], valid[m_cap], n_dropped)`` is the
     compacted nonzero-velocity candidate set consumed by
     ``occupancy_and_resample`` (saving its own pool-sized compaction).
+
+    Shard_map fast path (``shard`` = :class:`~.common.ShardCtx`): the pool
+    is this shard's slab and mover destinations are global, so the mover
+    buffer is ``all_gather``-exchanged over the map axis and each shard
+    re-inserts the arrivals it owns (cells in its slab) -- the bounded
+    cross-slab traffic SURVEY.md section 7.1.7 names.  Arrival order across
+    shards is shard-major (documented deviation from the single-pool flat
+    order; it matters only when a voxel's slots are contested).  FOV
+    registration then runs over local non-mover candidates plus the
+    inserted arrivals (whose fov/moving/pyramid tags ride the exchange).
     """
     from .insert import allocate_slots, scatter_candidates
 
@@ -269,13 +280,6 @@ def rebin_and_register(
     mov_i, mov_ok, n_mov, mov_buf_over = compact_mask(is_mover, m_cap)
     mov_src = jnp.minimum(flat0[mov_i], S * V - 1)
     mov_cell = jnp.where(mov_ok, sw.new_cell.ravel()[mov_src], V)
-    order, _, ranks_sorted = sort_by_destination(mov_cell, mov_ok)
-    mov_ranks = (
-        jnp.zeros((m_cap,), jnp.int32).at[order].set(ranks_sorted,
-                                                     unique_indices=True)
-    )
-    mov_flat_src = jnp.where(mov_ok, flat0[mov_i], S * V)
-    safe_src = jnp.minimum(mov_flat_src, S * V - 1)
 
     # Vacate mover sources first, then fill (see ops/rebin.py docstring for
     # the documented parallel-semantics deviation).
@@ -283,14 +287,59 @@ def rebin_and_register(
     vacated = dataclasses.replace(particles, flags=flags_vac)
     n_before = jnp.sum(vacated.valid)
 
-    new_flat, keep_ins = allocate_slots(vacated, mov_cell, mov_ranks, mov_ok)
-    cols_m = (
-        px[mov_i], py[mov_i], pz[mov_i],
-        particles.vx.ravel()[safe_src],
-        particles.vy.ravel()[safe_src],
-        particles.vz.ravel()[safe_src],
-        w[mov_i],
-    )
+    if shard is None:
+        order, _, ranks_sorted = sort_by_destination(mov_cell, mov_ok)
+        mov_ranks = (
+            jnp.zeros((m_cap,), jnp.int32).at[order].set(ranks_sorted,
+                                                         unique_indices=True)
+        )
+        safe_src = jnp.minimum(jnp.where(mov_ok, flat0[mov_i], S * V),
+                               S * V - 1)
+        new_flat, keep_ins = allocate_slots(
+            vacated, mov_cell, mov_ranks, mov_ok
+        )
+        cols_m = (
+            px[mov_i], py[mov_i], pz[mov_i],
+            particles.vx.ravel()[safe_src],
+            particles.vy.ravel()[safe_src],
+            particles.vz.ravel()[safe_src],
+            w[mov_i],
+        )
+        own_over = jnp.int32(0)
+        n_arrivals = n_mov
+    else:
+        # Cross-slab exchange: every shard's mover buffer (payload + global
+        # destination + sweep tags) is all_gathered, then this shard
+        # compacts and inserts the arrivals whose destination cell it owns.
+        exp = (
+            mov_cell,
+            px[mov_i], py[mov_i], pz[mov_i],
+            particles.vx.ravel()[mov_src],
+            particles.vy.ravel()[mov_src],
+            particles.vz.ravel()[mov_src],
+            w[mov_i],
+            tags[mov_i],
+            mov_ok & (mov_cell < cfg.voxel_num),
+        )
+        (a_cell, a_px, a_py, a_pz, a_vx, a_vy, a_vz, a_w, a_tags, a_ok) = (
+            jax.tree.map(shard.gather_flat, exp)
+        )
+        own = a_ok & shard.owns(a_cell, V)
+        own_i, own_ok, n_own, own_over = compact_mask(own, m_cap)
+        mov_cell = jnp.where(own_ok, a_cell[own_i] - shard.lo, V)
+        ins_tags = jnp.where(own_ok, a_tags[own_i], 0)
+        order, _, ranks_sorted = sort_by_destination(mov_cell, own_ok)
+        mov_ranks = (
+            jnp.zeros((m_cap,), jnp.int32).at[order].set(ranks_sorted,
+                                                         unique_indices=True)
+        )
+        new_flat, keep_ins = allocate_slots(
+            vacated, mov_cell, mov_ranks, own_ok
+        )
+        cols_m = (a_px[own_i], a_py[own_i], a_pz[own_i],
+                  a_vx[own_i], a_vy[own_i], a_vz[own_i], a_w[own_i])
+        n_arrivals = jnp.minimum(n_own, m_cap)
+
     new_particles = scatter_candidates(
         vacated, new_flat, cols_m, jnp.uint8(1),
         update_time if cfg.record_particle_time else None,
@@ -298,24 +347,48 @@ def rebin_and_register(
     n_inserted = jnp.sum(new_particles.valid) - n_before
 
     # ---- FOV registration from the combined buffer ---------------------
-    # Remap relocated movers to their new flat slots; voxel-full-killed
-    # movers get the sentinel and drop out of the FOV set.
-    flat = flat0.at[jnp.where(mov_ok, mov_i, cap)].set(
-        jnp.where(keep_ins, new_flat, S * V), mode="drop"
-    )
-    fov_sel = is_fov & (flat < S * V)
-    keys = jnp.where(fov_sel, pyr, n_pyr)
+    if shard is None:
+        # Remap relocated movers to their new flat slots; voxel-full-killed
+        # movers get the sentinel and drop out of the FOV set.
+        flat = flat0.at[jnp.where(mov_ok, mov_i, cap)].set(
+            jnp.where(keep_ins, new_flat, S * V), mode="drop"
+        )
+        fov_sel = is_fov & (flat < S * V)
+        cand_pyr, cand_px, cand_py, cand_pz, cand_w = pyr, px, py, pz, w
+        mv_sel = is_moving & (flat < S * V)
+        n_cand = cap
+    else:
+        # Local non-mover candidates plus this shard's inserted arrivals
+        # (their fov/moving bits and pyramid cell rode the exchange).
+        ins_fov = ((ins_tags >> 1) & 1) != 0
+        ins_mv = ((ins_tags >> 2) & 1) != 0
+        flat = jnp.concatenate([
+            jnp.where(is_mover, S * V, jnp.minimum(flat0, S * V)),
+            jnp.where(keep_ins, new_flat, S * V),
+        ])
+        fov_sel = jnp.concatenate([is_fov & ~is_mover, ins_fov & keep_ins])
+        fov_sel = fov_sel & (flat < S * V)
+        cand_pyr = jnp.concatenate([pyr, ins_tags >> 4])
+        cand_px = jnp.concatenate([px, cols_m[0]])
+        cand_py = jnp.concatenate([py, cols_m[1]])
+        cand_pz = jnp.concatenate([pz, cols_m[2]])
+        cand_w = jnp.concatenate([w, cols_m[6]])
+        mv_sel = jnp.concatenate([is_moving & ~is_mover, ins_mv & keep_ins])
+        mv_sel = mv_sel & (flat < S * V)
+        n_cand = cap + m_cap
+
+    keys = jnp.where(fov_sel, cand_pyr, n_pyr)
     f_order = jnp.argsort(keys, stable=True)
     f_ranks_sorted = group_ranks(keys[f_order])
     f_ranks = (
-        jnp.zeros((cap,), jnp.int32).at[f_order].set(f_ranks_sorted,
-                                                     unique_indices=True)
+        jnp.zeros((n_cand,), jnp.int32).at[f_order].set(f_ranks_sorted,
+                                                        unique_indices=True)
     )
 
     bin_flags, fovbin, stats = _bin_candidates(
         new_particles, cfg, sensor_pos, flat,
-        jnp.where(fov_sel, pyr, n_pyr), f_ranks, fov_sel,
-        total_fov, cols=(px, py, pz, w),
+        keys, f_ranks, fov_sel,
+        total_fov, cols=(cand_px, cand_py, cand_pz, cand_w),
     )
     out = dataclasses.replace(new_particles, flags=bin_flags)
 
@@ -323,8 +396,7 @@ def rebin_and_register(
     # flags/newborn/cull at its own pipeline point -- ops/occupancy.py).
     # Relocated movers are already remapped in ``flat``; killed ones carry
     # the sentinel and are dropped by occupancy's validity gather.
-    fm_sel = is_moving & (flat < S * V)
-    fm_i, fm_ok, n_fm, fm_over = compact_mask(fm_sel, m_cap)
+    fm_i, fm_ok, n_fm, fm_over = compact_mask(mv_sel, m_cap)
     future_movers = (
         jnp.where(fm_ok, flat[fm_i], S * V),
         fm_ok,
@@ -338,8 +410,8 @@ def rebin_and_register(
         # movers lost to either the combined or the mover buffer vanish
         # (vacated, never re-inserted) -- both counted here
         mover_overflow_killed=(total_movers - jnp.sum(is_mover))
-        + mov_buf_over,
-        voxel_full_killed=n_mov_cap - n_inserted,
+        + mov_buf_over + own_over,
+        voxel_full_killed=n_arrivals - n_inserted,
         # FOV candidates dropped by the combined buffer (they keep their
         # weight but skip the measurement update this frame)
         fov_global_overflow=total_fov - jnp.sum(is_fov),

@@ -188,11 +188,16 @@ def insert_particles(
     flag,
     t,
     compact_to: int | None = None,
+    cell_base=0,
 ):
     """Insert unsorted candidates (ranks via a destination argsort).
 
     Candidates outside the map window are dropped (the reference's
     ``getParticleVoxelsIndex`` failure path, dsp_dynamic.h:875,1062-1074).
+
+    ``cell_base`` (shard_map fast path): global storage cell of pool column
+    0; candidates whose destination falls outside this shard's slab are
+    dropped here and inserted by their owner shard instead.
 
     With ``compact_to``, candidates whose within-voxel arrival rank is
     ``>= S`` (they can NEVER insert -- the voxel has only S slots,
@@ -206,8 +211,8 @@ def insert_particles(
     S, V = particles.flags.shape
     wv = geometry.world_voxel(pos, cfg)
     inside = geometry.in_window(wv, origin, cfg)
-    valid = valid & inside
-    dest = geometry.storage_index(wv, cfg)
+    dest = geometry.storage_index(wv, cfg) - cell_base
+    valid = valid & inside & (dest >= 0) & (dest < V)
 
     order, sorted_dest, ranks_sorted = sort_by_destination(dest, valid)
     cols = (pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],

@@ -130,7 +130,7 @@ def _pool_pass_xla(particles, cfg: MapConfig):
 
 
 def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
-                           future_in, future_movers=None):
+                           future_in, future_movers=None, shard=None):
     """Returns ``(new_particles, weight_sum[V], vel_avg[V,3], future[V,T], stats)``.
 
     ``future_movers`` optionally supplies the pre-compacted
@@ -139,6 +139,12 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     sweep and this stage on the fused-sweep configurations, so re-checking
     flags/newborn/cull here yields exactly the pool-compacted set without
     another pool-sized compaction.
+
+    Shard_map fast path (``shard`` set): the cull/aggregate/resample pool
+    pass is per-voxel and therefore shard-local; only the future-status
+    scatter crosses slabs (a moving particle's predicted position can land
+    anywhere), so the compacted mover columns are ``all_gather``-exchanged
+    and each shard scatters the contributions whose predicted cell it owns.
     """
     S, V = particles.flags.shape
     T = cfg.n_horizons
@@ -198,6 +204,13 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     m_vz = particles.vz.ravel()[idx]
     m_w = jnp.where(sel, wgt, 0.0)
 
+    if shard is not None:
+        # Predicted cells can land in any slab: exchange the compacted
+        # mover columns and let each shard scatter what it owns.
+        (m_px, m_py, m_pz, m_vx, m_vy, m_vz, m_w, sel) = jax.tree.map(
+            shard.gather_flat, (m_px, m_py, m_pz, m_vx, m_vy, m_vz, m_w, sel)
+        )
+
     taus = jnp.asarray(cfg.prediction_horizons, jnp.float32)  # [T]
     fx = m_px[None, :] + m_vx[None, :] * taus[:, None]  # [T, D]
     fy = m_py[None, :] + m_vy[None, :] * taus[:, None]
@@ -205,6 +218,9 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     wx, wy, wz = geometry.world_voxel_planar(fx, fy, fz, cfg)
     ok = sel[None, :] & geometry.in_window_planar(wx, wy, wz, origin, cfg)
     cell = geometry.storage_index_planar(wx, wy, wz, cfg)  # [T, D]
+    if shard is not None:
+        ok = ok & shard.owns(cell, V)
+        cell = cell - shard.lo
     # one combined scatter-add into the flattened [V, T] grid
     tgt = jnp.where(
         ok,

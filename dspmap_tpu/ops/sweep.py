@@ -70,9 +70,13 @@ class SweepOut(NamedTuple):
 
 
 def sweep_reference(
-    particles, cfg: MapConfig, dt, origin, sensor_pos, quat
+    particles, cfg: MapConfig, dt, origin, sensor_pos, quat, cell_base=0
 ) -> SweepOut:
-    """XLA implementation; the Pallas kernel must match this exactly."""
+    """XLA implementation; the Pallas kernel must match this exactly.
+
+    ``cell_base`` is the global storage cell of column 0 -- nonzero only
+    inside the ``shard_map`` fast path, where the pool is a slab of the
+    grid (``new_cell`` stays global either way)."""
     S, V = particles.flags.shape
     valid = particles.valid
 
@@ -94,7 +98,9 @@ def sweep_reference(
     flags = jnp.where(moved_out, jnp.uint8(0), particles.flags)
 
     new_cell = geometry.storage_index_from_rel(rx, ry, rz, origin, cfg)
-    current = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (S, V))
+    current = jnp.broadcast_to(
+        cell_base + jnp.arange(V, dtype=jnp.int32)[None, :], (S, V)
+    )
     mover = valid & inside & (new_cell != current)
 
     Rm = geometry.rotation_matrix(geometry.quaternion_conjugate(quat))
@@ -124,13 +130,18 @@ def sweep_reference(
     return SweepOut(px, py, pz, flags, new_cell, tags)
 
 
-def sweep(particles, cfg: MapConfig, dt, origin, sensor_pos, quat) -> SweepOut:
-    """Dispatch: Pallas kernel on TPU when enabled, XLA reference otherwise."""
-    if getattr(cfg, "use_pallas_sweep", False):
+def sweep(particles, cfg: MapConfig, dt, origin, sensor_pos, quat,
+          cell_base=0) -> SweepOut:
+    """Dispatch: Pallas kernel on TPU when enabled, XLA reference otherwise.
+    (The Pallas kernel assumes an unsharded pool; sharded slabs -- traced
+    ``cell_base`` -- always take the XLA path.)"""
+    unsharded = isinstance(cell_base, int) and cell_base == 0
+    if getattr(cfg, "use_pallas_sweep", False) and unsharded:
         import jax
 
         if jax.default_backend() not in ("cpu",):
             from .pallas.sweep import sweep_pallas
 
             return sweep_pallas(particles, cfg, dt, origin, sensor_pos, quat)
-    return sweep_reference(particles, cfg, dt, origin, sensor_pos, quat)
+    return sweep_reference(particles, cfg, dt, origin, sensor_pos, quat,
+                           cell_base)

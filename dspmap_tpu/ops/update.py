@@ -149,6 +149,7 @@ def measurement_update(
     cfg: MapConfig,
     expected_newborn: jnp.ndarray,
     update_time: jnp.ndarray,
+    axis_name: str | None = None,
 ):
     """Returns ``(new_particles, norm_coeff, stats)``.
 
@@ -156,6 +157,12 @@ def measurement_update(
     tiers) -- the particle-birth normalizer (``dsp_dynamic.h:798-805``; the
     reference stores C inside ``point_cloud[i][j][3]`` and sums its
     reciprocals at birth time).
+
+    ``axis_name`` (shard_map fast path): the C(z) partials -- the only
+    cross-particle reduction in the update -- are ``psum``-reduced over the
+    map axis before normalization, exactly the ``[n_pyr, (2N+1)^2 K]``
+    collective SURVEY.md section 7.1.7 names; pass 2 and the weight
+    writeback stay shard-local.  ``norm_coeff`` then comes out replicated.
     """
     S, V = particles.flags.shape
     n_pyr, Ko = cfg.n_pyramids, cfg.obs_dense
@@ -234,6 +241,9 @@ def measurement_update(
         ) & fovbin.sp_mask[None, :]
         c_part = c_part + onehot_p.astype(jnp.float32) @ (sp_w[:, None] * g_pz)
 
+    if axis_name is not None:
+        c_part = jax.lax.psum(c_part, axis_name)
+
     c_grid = scatter_neighbor_sum(c_part, cfg) * cfg.p_detection + e_birth
     c_grid = jnp.where(obs.mask, c_grid, 1.0)  # masked cells: inert positive
 
@@ -241,6 +251,8 @@ def measurement_update(
         c_sp = jnp.einsum("ymk,ym->yk", g_dy, d_w.reshape(Yc, C * S_t))
         if have_psp:
             c_sp = c_sp + (sp_w @ g_py).reshape(Yc, Ks)
+        if axis_name is not None:
+            c_sp = jax.lax.psum(c_sp, axis_name)
         c_spill = jnp.where(
             obs.spill_pts_mask, c_sp * cfg.p_detection + e_birth, 1.0
         )  # [Yc, Ks]

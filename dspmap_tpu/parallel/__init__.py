@@ -7,3 +7,4 @@ from .sharding import (  # noqa: F401
     shard_state,
     make_sharded_step,
 )
+from .shard_step import make_shardmap_step  # noqa: F401
