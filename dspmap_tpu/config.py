@@ -157,7 +157,8 @@ class MapConfig:
     #: frame's insertable newborns fit, they are compacted before the nine
     #: field scatters (XLA scatter cost is capacity-bound); otherwise the
     #: exact full-capacity scatter runs.  ``None`` disables the
-    #: specialization (single full-capacity program).
+    #: specialization (single full-capacity program).  Consumed through
+    #: :meth:`birth_insert_budget`, which widens it on deep-slot variants.
     birth_compact_capacity: int | None = 1 << 14
     #: capacity (in *cells*) of the spill-observation tier: cells holding
     #: more than the dense tier of points get a compacted per-cell tile of
@@ -272,6 +273,22 @@ class MapConfig:
             return min(self.obs_dense_points, self.max_obs_points_per_pyramid)
         base = 32 if self.angle_resolution_deg >= 2 else 16
         return min(self.max_obs_points_per_pyramid, base)
+
+    @property
+    def birth_insert_budget(self) -> int | None:
+        """Effective newborn-insertion scatter budget.  Eligibility for
+        insertion is per-voxel arrival rank < slots_per_voxel, so deep-slot
+        variants (static x5, multi-neighbor x6 safety factors,
+        dsp_static.h:46 / dsp_dynamic_multiple_neighbors.h:64) keep far
+        more of the 100k candidate table eligible and the 16k budget falls
+        through to the full-size scatter path every frame; widening it to
+        32k measured 31.7 -> 26.0 ms on the multi-neighbor variant
+        (docs/PERF.md)."""
+        if self.birth_compact_capacity is None:
+            return None
+        if self.slots_per_voxel >= 40:
+            return max(self.birth_compact_capacity, 1 << 15)
+        return self.birth_compact_capacity
 
     @property
     def fov_buffer_capacity(self) -> int:

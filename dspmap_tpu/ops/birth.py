@@ -162,7 +162,7 @@ def particle_birth(
         origin=origin,
         flag=FLAG_NEWBORN,
         t=update_time if cfg.record_particle_time else None,
-        compact_to=cfg.birth_compact_capacity,
+        compact_to=cfg.birth_insert_budget,
         cell_base=0 if shard is None else shard.lo,
     )
     stats = {

@@ -213,3 +213,74 @@ def test_future_status_parity_dynamic(oracle_bins):
 
     m_ours, m_ref = _match_stats(ours_pts, ref_pts, cfg.voxel_resolution * 2.0)
     assert m_ours > 0.6 and m_ref > 0.6, (m_ours, m_ref, len(ours_pts), len(ref_pts))
+
+
+def _replay_ours(dm, jax, jnp, cfg, frames):
+    state = dm.init_state(cfg, jax.random.key(0))
+    step = jax.jit(dm.make_step(cfg))
+    out_frames = []
+    for pts, n, pos, quat, t in frames:
+        frame = dm.Frame(
+            jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+            jnp.asarray(quat), jnp.asarray(np.float32(t)),
+        )
+        state, out = step(state, frame)
+        occ, centers, future, state = dm.get_occupancy_map(state, cfg, 0.2)
+        out_frames.append(np.asarray(centers)[np.asarray(occ)])
+    return out_frames
+
+
+@pytest.mark.slow
+def test_occupancy_parity_occlusion_scene(oracle_bins):
+    """Adversarial scene: a near wall (1-degree z-buffered rendering)
+    shadows most of the corridor, with pedestrians in front of and behind
+    it -- most pyramids carry a short max measured range with live
+    particles beyond it, which drives the reference's occlusion skip
+    (dsp_dynamic.h:759-765) far harder than the street scene."""
+    sys.path.insert(0, str(ORACLE))
+    from run_oracle import run
+
+    import dspmap_tpu as dm
+    from dspmap_tpu.utils import sim
+
+    n_frames, max_points = 25, 3000
+    cfg = dm.example_node_settings(dm.dsp_dynamic(max_input_points=max_points))
+    frames = list(sim.occlusion_sequence(n_frames, cfg, seed=11))
+    ref = run("dynamic", frames, max_points, threshold=0.2)
+    ours = _replay_ours(dm, jax, jnp, cfg, frames)
+
+    tol = cfg.voxel_resolution * 1.6
+    fracs = []
+    for k in range(-5, 0):
+        ref_world = ref["frames"][k]["ego_centers"] + frames[k][2]
+        m_ours, m_ref = _match_stats(ours[k], ref_world, tol)
+        fracs.append((m_ours, m_ref, len(ours[k]), len(ref_world)))
+    assert np.mean([f[0] for f in fracs]) > 0.7, fracs
+    assert np.mean([f[1] for f in fracs]) > 0.7, fracs
+
+
+@pytest.mark.slow
+def test_occupancy_parity_fast_ego(oracle_bins):
+    """Adversarial ego motion: 3 m/s translation with strong yaw
+    oscillation -- large per-frame window shifts (rebin/mover churn) and
+    FOV churn near the admission-control limits."""
+    sys.path.insert(0, str(ORACLE))
+    from run_oracle import run
+
+    import dspmap_tpu as dm
+    from dspmap_tpu.utils import sim
+
+    n_frames, max_points = 25, 3000
+    cfg = dm.example_node_settings(dm.dsp_dynamic(max_input_points=max_points))
+    frames = list(sim.fast_ego_sequence(n_frames, cfg, seed=12))
+    ref = run("dynamic", frames, max_points, threshold=0.2)
+    ours = _replay_ours(dm, jax, jnp, cfg, frames)
+
+    tol = cfg.voxel_resolution * 1.6
+    fracs = []
+    for k in range(-5, 0):
+        ref_world = ref["frames"][k]["ego_centers"] + frames[k][2]
+        m_ours, m_ref = _match_stats(ours[k], ref_world, tol)
+        fracs.append((m_ours, m_ref, len(ours[k]), len(ref_world)))
+    assert np.mean([f[0] for f in fracs]) > 0.7, fracs
+    assert np.mean([f[1] for f in fracs]) > 0.7, fracs
