@@ -178,6 +178,12 @@ class MapConfig:
     #: element-exact vs the XLA path (tests/test_pallas.py).  Ignored on
     #: CPU backends.
     use_pallas_occupancy: bool = True
+    #: run the measurement update's two dense pair passes as Pallas kernels
+    #: (ops/pallas/update.py): the [rows, S_t, CK] pair tiles stay in VMEM
+    #: instead of streaming through HBM under lax.map chunking.  Matches the
+    #: XLA path to f32 rounding (different but equivalent d2 formulation;
+    #: tests/test_pallas.py).  Ignored on CPU backends.
+    use_pallas_update: bool = False
     #: maintain the per-particle last-update-time plane.  The reference
     #: stores this field but never reads it (``voxels_with_particle[..][8]``
     #: is write-only, dsp_dynamic.h:787,1194 -- no consumer anywhere), and

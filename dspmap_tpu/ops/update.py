@@ -216,22 +216,33 @@ def measurement_update(
             cfg.sigma_ob,
         )[0] * jnp.repeat(adj, Ks, axis=1)  # [Psp, Yc*Ks]
 
-    # ---- pass 1: C(z) --------------------------------------------------
-    def pass1(args):
-        ppos, w, pts = args
-        g = _pair_g(ppos, pts, cfg.sigma_ob)  # [B, S, CK]
-        return jnp.einsum("bsm,bs->bm", g, w, preferred_element_type=jnp.float32)
-
-    p1_in = (
-        fovbin.pos.reshape(n_chunks, chunk, S_t, 3),
-        pw.reshape(n_chunks, chunk, S_t),
-        nbr_pts.reshape(n_chunks, chunk, ck, 3),
+    use_pallas = (
+        getattr(cfg, "use_pallas_update", False)
+        and jax.default_backend() not in ("cpu",)
     )
-    if n_chunks == 1:
-        c_part = pass1(jax.tree.map(lambda x: x[0], p1_in))[None]
+
+    # ---- pass 1: C(z) --------------------------------------------------
+    if use_pallas:
+        from .pallas.update import update_pass1
+
+        c_part = update_pass1(fovbin.pos, pw, nbr_pts, cfg.sigma_ob)
     else:
-        c_part = jax.lax.map(pass1, p1_in)
-    c_part = c_part.reshape(n_pyr, ck)
+        def pass1(args):
+            ppos, w, pts = args
+            g = _pair_g(ppos, pts, cfg.sigma_ob)  # [B, S, CK]
+            return jnp.einsum("bsm,bs->bm", g, w,
+                              preferred_element_type=jnp.float32)
+
+        p1_in = (
+            fovbin.pos.reshape(n_chunks, chunk, S_t, 3),
+            pw.reshape(n_chunks, chunk, S_t),
+            nbr_pts.reshape(n_chunks, chunk, ck, 3),
+        )
+        if n_chunks == 1:
+            c_part = pass1(jax.tree.map(lambda x: x[0], p1_in))[None]
+        else:
+            c_part = jax.lax.map(pass1, p1_in)
+        c_part = c_part.reshape(n_pyr, ck)
 
     if have_psp:
         # reduce spill contributions into the same [n_pyr, CK] layout by
@@ -267,21 +278,27 @@ def measurement_update(
     # ---- pass 2: weight factors ---------------------------------------
     nbr_cinv = jnp.where(nbr_mask, 1.0 / gather_neighbors(c_grid, cfg, 1.0), 0.0)
 
-    def pass2(args):
-        ppos, pts, cinv = args
-        g = _pair_g(ppos, pts, cfg.sigma_ob)
-        return jnp.einsum("bsm,bm->bs", g, cinv, preferred_element_type=jnp.float32)
+    if use_pallas:
+        from .pallas.update import update_pass2
 
-    p2_in = (
-        fovbin.pos.reshape(n_chunks, chunk, S_t, 3),
-        nbr_pts.reshape(n_chunks, chunk, ck, 3),
-        nbr_cinv.reshape(n_chunks, chunk, ck),
-    )
-    if n_chunks == 1:
-        sum_dense = pass2(jax.tree.map(lambda x: x[0], p2_in))[None]
+        sum_dense = update_pass2(fovbin.pos, nbr_cinv, nbr_pts, cfg.sigma_ob)
     else:
-        sum_dense = jax.lax.map(pass2, p2_in)
-    sum_dense = sum_dense.reshape(n_pyr, S_t)
+        def pass2(args):
+            ppos, pts, cinv = args
+            g = _pair_g(ppos, pts, cfg.sigma_ob)
+            return jnp.einsum("bsm,bm->bs", g, cinv,
+                              preferred_element_type=jnp.float32)
+
+        p2_in = (
+            fovbin.pos.reshape(n_chunks, chunk, S_t, 3),
+            nbr_pts.reshape(n_chunks, chunk, ck, 3),
+            nbr_cinv.reshape(n_chunks, chunk, ck),
+        )
+        if n_chunks == 1:
+            sum_dense = pass2(jax.tree.map(lambda x: x[0], p2_in))[None]
+        else:
+            sum_dense = jax.lax.map(pass2, p2_in)
+        sum_dense = sum_dense.reshape(n_pyr, S_t)
 
     if have_osp:
         # spill-obs contributions to the dense factor tiles: reduce

@@ -114,3 +114,33 @@ def test_occupancy_kernel_matches_xla(safety):
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(n_old).astype(np.int32),
                                   np.asarray(n_old_r).astype(np.int32))
+
+
+def test_update_pair_kernels_match_xla():
+    """The measurement-update pair kernels (ops/pallas/update.py) match the
+    XLA einsum formulation to f32 rounding (the kernels compute d2 as
+    coordinate differences, the XLA path via the matmul identity)."""
+    from dspmap_tpu.ops.pallas.update import update_pass1, update_pass2
+    import math
+
+    rng = np.random.default_rng(7)
+    n_pyr, s_t, ck, sigma = 56, 32, 288, 0.1
+    pos = rng.normal(0, 2, (n_pyr, s_t, 3)).astype(np.float32)
+    w = (rng.random((n_pyr, s_t))
+         * (rng.random((n_pyr, s_t)) > 0.3)).astype(np.float32)
+    pts = rng.normal(0, 2, (n_pyr, ck, 3)).astype(np.float32)
+    cinv = (rng.random((n_pyr, ck))
+            * (rng.random((n_pyr, ck)) > 0.5)).astype(np.float32)
+
+    c3 = (1.0 / math.sqrt(math.pi)) ** 3
+    d2 = ((pos[:, :, None, :] / sigma - pts[:, None, :, :] / sigma) ** 2).sum(-1)
+    g = c3 * np.exp(-0.5 * d2)
+    want1 = np.einsum("psm,ps->pm", g, w)
+    want2 = np.einsum("psm,pm->ps", g, cinv)
+
+    got1 = np.asarray(update_pass1(jnp.asarray(pos), jnp.asarray(w),
+                                   jnp.asarray(pts), sigma, interpret=True))
+    got2 = np.asarray(update_pass2(jnp.asarray(pos), jnp.asarray(cinv),
+                                   jnp.asarray(pts), sigma, interpret=True))
+    np.testing.assert_allclose(got1, want1, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=1e-6)
