@@ -365,6 +365,10 @@ def dsp_dynamic_multi_neighbors(**overrides) -> MapConfig:
         # (mn:69); the two-tier update makes it cheap (realized 1-degree
         # cells peak at ~51 points on the street scene, so the dense tier
         # carries 16 and the rest take the exact spill path).
+        # 4536 x 32 x 400 pair terms per pass: the VMEM-resident Pallas
+        # pair kernels win here (26.2 -> 25.0 ms measured); the flagship's
+        # smaller tiles do not (docs/PERF.md).
+        use_pallas_update=True,
     )
     return dataclasses.replace(cfg, **overrides).validate()
 
@@ -390,6 +394,9 @@ def dsp_static(**overrides) -> MapConfig:
         min_static_newborn_fraction=0.2,
         occlusion_slack=0.2,
         voxel_filter_resolution=0.2,
+        # 504-row x 64-slot dense tiles: the Pallas pair kernels measured
+        # 16.8 -> 15.7 ms here (docs/PERF.md).
+        use_pallas_update=True,
     )
     return dataclasses.replace(cfg, **overrides).validate()
 
