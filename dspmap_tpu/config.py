@@ -128,7 +128,7 @@ class MapConfig:
     #: occupancy_stats.py) -- and every gather in the mover chain scales
     #: with this capacity; overflow is killed and counted
     #: (``mover_overflow_killed`` / ``future_overflow`` metrics).
-    mover_capacity: int = 1 << 13
+    mover_capacity: int = 1 << 12
     #: label-propagation sweeps for Euclidean clustering (with pointer
     #: jumping; 2^n reach per sweep covers any practical cluster diameter).
     cluster_propagation_iters: int = 12
@@ -340,7 +340,15 @@ class MapConfig:
 # ------------------------------------------------------------------ presets
 
 def dsp_dynamic(**overrides) -> MapConfig:
-    """Type-II constant-velocity map, `include/dsp_dynamic.h` parameters."""
+    """Type-II constant-velocity map, `include/dsp_dynamic.h` parameters.
+
+    ``fov_capacity``: street-scene candidate peak (in-FOV + movers +
+    future-movers) is ~13k (tools/occupancy_stats.py telemetry); 24576 keeps
+    a 1.8x margin while every capacity-sized gather in the FOV chain runs
+    25% cheaper than at the 32k default.  Overflow is counted
+    (``fov_global_overflow``) and guarded by the adversarial-scene tests.
+    """
+    overrides.setdefault("fov_capacity", 24576)
     return dataclasses.replace(MapConfig(), **overrides).validate()
 
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
+
 def euclidean_cluster(
     points: jnp.ndarray,  # [P, 3]
     valid: jnp.ndarray,  # [P] bool
@@ -55,6 +56,9 @@ def euclidean_cluster(
                      preferred_element_type=jnp.float32)
     )
     adj = (d2 <= tol2) & valid[:, None] & valid[None, :]  # [n, n], once
+    # (A u32-bitpacked adjacency with a 32-step in-register unpack was
+    # measured SLOWER (1.25 vs 1.03 ms/frame): the sweep is VPU-bound on
+    # the 26M select+min lanes, not HBM-bound, and the bit chain serializes.)
 
     def sweep(labels):
         new = jnp.min(jnp.where(adj, labels[None, :], sentinel), axis=1)

@@ -140,9 +140,8 @@ def compact_and_group(mask: jnp.ndarray, group: jnp.ndarray, capacity: int,
     """
     c_idx, c_valid, n_kept, n_over = compact_mask(mask, capacity)
     g = jnp.where(c_valid, group.ravel()[c_idx].astype(jnp.int32), n_groups)
-    order = jnp.argsort(g, stable=True)
-    indices = c_idx[order]
-    sorted_group = g[order]
+    sorted_group, indices = jax.lax.sort((g, c_idx), is_stable=True,
+                                         num_keys=1)
     valid = sorted_group < n_groups
     ranks = group_ranks(sorted_group)
     return indices, sorted_group, ranks, valid, n_kept + n_over
@@ -173,8 +172,13 @@ def sort_by_destination(dest: jnp.ndarray, valid: jnp.ndarray):
     matching the reference's first-come slot filling).
     """
     keys = jnp.where(valid, dest, I32_MAX)
-    order = jnp.argsort(keys, stable=True)
-    sorted_dest = keys[order]
+    # One multi-operand stable sort carries the permutation alongside the
+    # keys -- the earlier argsort + ``keys[order]`` formulation paid a
+    # capacity-sized random gather (~7 ns/element) just to read the sorted
+    # keys back out (docs/PERF.md).
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    sorted_dest, order = jax.lax.sort((keys, iota), is_stable=True,
+                                      num_keys=1)
     ranks = group_ranks(sorted_dest)
     return order, sorted_dest, ranks
 

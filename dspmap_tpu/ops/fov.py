@@ -378,8 +378,11 @@ def rebin_and_register(
         n_cand = cap + m_cap
 
     keys = jnp.where(fov_sel, cand_pyr, n_pyr)
-    f_order = jnp.argsort(keys, stable=True)
-    f_ranks_sorted = group_ranks(keys[f_order])
+    sorted_keys, f_order = jax.lax.sort(
+        (keys, jnp.arange(n_cand, dtype=jnp.int32)), is_stable=True,
+        num_keys=1,
+    )
+    f_ranks_sorted = group_ranks(sorted_keys)
     f_ranks = (
         jnp.zeros((n_cand,), jnp.int32).at[f_order].set(f_ranks_sorted,
                                                         unique_indices=True)

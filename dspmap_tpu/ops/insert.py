@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import I32_MAX, compact_mask, sort_by_destination
+from .common import (I32_MAX, compact_mask, group_ranks,
+                     sort_by_destination)
 
 
 def empty_slot_lookup(flags, cell, ranks):
@@ -224,7 +225,10 @@ def insert_particles(
 
         def small(particles):
             cell_c = jnp.where(c_valid, sorted_dest[c_pos], V)
-            ranks_c = ranks_sorted[c_pos]
+            # compaction preserves sorted run order and keeps exactly the
+            # first min(S, count) of each run, so ranks recompute exactly
+            # from the compacted keys -- one fewer budget-sized gather
+            ranks_c = group_ranks(cell_c)
             src = order[c_pos]  # original candidate index
             flat_c, _ = allocate_slots(particles, cell_c, ranks_c, c_valid)
             # pos/vel are [M, 3] already: two native row gathers + one flat
