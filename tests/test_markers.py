@@ -76,3 +76,21 @@ def test_actor_markers_reference_defaults():
     ms = mk.actor_markers(np.array([[1.0, 2.0, 0.85]]))
     assert ms[0]["type"] == "cylinder"
     np.testing.assert_allclose(ms[0]["scale"], [0.4, 0.4, 1.7])
+
+
+def test_ros_bridges_gate_cleanly_without_ros():
+    """Both live bridges are optional-dependency gated: importing the
+    module works anywhere; constructing the node without a sourced ROS
+    environment raises ImportError pointing at the offline path."""
+    import pytest
+
+    from dspmap_tpu.io import ros2_bridge, ros_bridge
+
+    for mod, exc_fn in ((ros_bridge, ros_bridge._require_rospy),
+                        (ros2_bridge, ros2_bridge._require_rclpy)):
+        try:
+            exc_fn()
+        except ImportError as e:
+            assert "offline" in str(e)
+        else:  # pragma: no cover - only in a sourced ROS env
+            pytest.skip("ROS environment present")
