@@ -50,6 +50,30 @@ class ShardCtx(NamedTuple):
         return g.reshape((-1,) + x.shape[1:])
 
 
+def pool_take(plane: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Gather flat pool positions from a 2D ``[S, V]`` plane by (row, col)
+    pair instead of ``plane.ravel()[flat]``: the raveled form makes XLA
+    relayout the tiled T(8,128) plane to a 1D gather layout per call site
+    (measured 3-4x slower per gather; docs/PERF.md round-2 log).  Out-of-
+    range ``flat`` (the ``S*V`` sentinel) clamps, matching flat-gather
+    semantics."""
+    if plane.ndim == 1:
+        return plane[flat]
+    V = plane.shape[-1]
+    return plane[flat // V, flat % V]
+
+
+def pool_put(plane: jnp.ndarray, flat: jnp.ndarray, vals) -> jnp.ndarray:
+    """Scatter ``vals`` at flat pool positions of a 2D ``[S, V]`` plane by
+    (row, col) pair; drops out-of-range rows (the ``S*V`` drop sentinel).
+    Avoids the ravel-scatter-reshape relayout pair (measured 2x;
+    docs/PERF.md)."""
+    V = plane.shape[-1]
+    return plane.at[flat // V, flat % V].set(
+        vals, mode="drop", unique_indices=True
+    )
+
+
 def compact_mask(mask: jnp.ndarray, capacity: int):
     """Compact the True positions of a flat boolean ``mask`` into a fixed-size
     index buffer (first-to-last order).
@@ -88,24 +112,63 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
         halves[:, 1].astype(jnp.uint32) << 16
     )
     counts = jax.lax.population_count(words).astype(jnp.int32)
-    ends = jnp.cumsum(counts)
-    n_selected = ends[-1]
 
     out_pos = jnp.arange(capacity, dtype=jnp.int32)
-    # Output position -> source word via scatter + forward fill: each
-    # nonempty word scatters its index at its output start, cummax fills the
-    # runs.  Cost scales with n_words at the ~3 ns/entry scatter rate --
-    # ~4x cheaper at pool size than a searchsorted(method="sort"), whose
-    # concatenated sort grows with n_words + capacity (measured).
-    starts = ends - counts
-    word_of = jnp.zeros((capacity,), jnp.int32).at[
-        jnp.where(counts > 0, starts, capacity)
-    ].max(
-        jnp.arange(n_words, dtype=jnp.int32), mode="drop",
-        unique_indices=True,
-    )
-    word_of = jax.lax.cummax(word_of)
-    off = out_pos - starts[word_of]
+    if n_words <= 8192:
+        # Output position -> source word via scatter + forward fill: each
+        # nonempty word scatters its index at its output start, cummax fills
+        # the runs.  Cost scales with n_words at the ~3 ns/entry scatter
+        # rate -- ~4x cheaper at pool size than a searchsorted
+        # (method="sort"), whose concatenated sort grows with
+        # n_words + capacity (measured).
+        ends = jnp.cumsum(counts)
+        n_selected = ends[-1]
+        starts = ends - counts
+        word_of = jnp.zeros((capacity,), jnp.int32).at[
+            jnp.where(counts > 0, starts, capacity)
+        ].max(
+            jnp.arange(n_words, dtype=jnp.int32), mode="drop",
+            unique_indices=True,
+        )
+        word_of = jax.lax.cummax(word_of)
+        off = out_pos - starts[word_of]
+    else:
+        # Two-level hierarchy for pool-sized masks: the flat scatter above
+        # costs ~3-7 ns per WORD (98k words at 3.1M pool = ~0.3-0.7
+        # ms/frame, the top fusion of the round-2 trace).  Grouping words
+        # into 32-word blocks scatters only n_blocks entries; the word
+        # within the block is then found by a 32-step prefix scan over the
+        # block's count row (pure VPU at capacity width, like the bit
+        # select below).
+        B = 32
+        bpad = (-n_words) % B
+        counts2 = (jnp.concatenate([counts, jnp.zeros((bpad,), jnp.int32)])
+                   if bpad else counts).reshape(-1, B)
+        n_blocks = counts2.shape[0]
+        block_counts = jnp.sum(counts2, axis=1)
+        block_ends = jnp.cumsum(block_counts)
+        n_selected = block_ends[-1]
+        block_starts = block_ends - block_counts
+        block_of = jnp.zeros((capacity,), jnp.int32).at[
+            jnp.where(block_counts > 0, block_starts, capacity)
+        ].max(
+            jnp.arange(n_blocks, dtype=jnp.int32), mode="drop",
+            unique_indices=True,
+        )
+        block_of = jax.lax.cummax(block_of)
+        off_blk = out_pos - block_starts[block_of]
+        crow = counts2[block_of]  # [capacity, B] native row gather
+        # word within block: largest w with sum(crow[:w]) <= off_blk
+        pref = jnp.zeros_like(out_pos)
+        win = jnp.zeros_like(out_pos)
+        off = off_blk
+        for b in range(B):
+            c = crow[:, b]
+            here = (off_blk >= pref) & (off_blk < pref + c)
+            win = jnp.where(here, b, win)
+            off = jnp.where(here, off_blk - pref, off)
+            pref = pref + c
+        word_of = block_of * B + win
     w = words[word_of]
     # off-th set bit of w: 32-step select sweep, all in one VPU fusion.
     prefix = jnp.zeros_like(out_pos)
@@ -139,7 +202,8 @@ def compact_and_group(mask: jnp.ndarray, group: jnp.ndarray, capacity: int,
     stable sort of the compacted entries by group id.
     """
     c_idx, c_valid, n_kept, n_over = compact_mask(mask, capacity)
-    g = jnp.where(c_valid, group.ravel()[c_idx].astype(jnp.int32), n_groups)
+    g = jnp.where(c_valid, pool_take(group, c_idx).astype(jnp.int32),
+                  n_groups)
     sorted_group, indices = jax.lax.sort((g, c_idx), is_stable=True,
                                          num_keys=1)
     valid = sorted_group < n_groups

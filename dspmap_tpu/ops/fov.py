@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import (compact_and_group, compact_mask,
+from .common import (compact_and_group, compact_mask, pool_put, pool_take,
                      group_ranks, sort_by_destination)
 
 
@@ -74,15 +74,15 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
     kill = sel_valid & (ranks >= s_pyr)  # pyramid-cell overflow -> vanish
 
     # Kill overflow particles (dsp_dynamic.h:1256-1259).
-    flags = particles.flags.ravel().at[jnp.where(kill, idx, S * V)].set(
-        jnp.uint8(0), mode="drop"
-    ).reshape(S, V)
+    kill_flat = jnp.where(kill, idx, S * V)
+    flags = pool_put(particles.flags, kill_flat,
+                     jnp.broadcast_to(jnp.uint8(0), kill_flat.shape))
 
     if cols is None:
-        px = particles.px.ravel()[idx]
-        py = particles.py.ravel()[idx]
-        pz = particles.pz.ravel()[idx]
-        w = particles.weight.ravel()[idx]
+        px = pool_take(particles.px, idx)
+        py = pool_take(particles.py, idx)
+        pz = pool_take(particles.pz, idx)
+        w = pool_take(particles.weight, idx)
     else:
         px, py, pz, w = cols
     rng_c = jnp.sqrt(
@@ -257,11 +257,11 @@ def rebin_and_register(
     # interleaving stack of pool planes is ever materialized (the stacked
     # [N, F] row-gather formulation cost ~2.2 ms/frame here; see
     # docs/PERF.md round-2 log).
-    tags = sw.tags.ravel()[idx]
-    px = particles.px.ravel()[idx]
-    py = particles.py.ravel()[idx]
-    pz = particles.pz.ravel()[idx]
-    w = particles.weight.ravel()[idx]
+    tags = pool_take(sw.tags, idx)
+    px = pool_take(particles.px, idx)
+    py = pool_take(particles.py, idx)
+    pz = pool_take(particles.pz, idx)
+    w = pool_take(particles.weight, idx)
     is_mover = ((tags & 1) != 0) & c_valid
     is_fov = ((tags & 2) != 0) & c_valid
     is_moving = ((tags & 4) != 0) & c_valid
@@ -279,7 +279,7 @@ def rebin_and_register(
     # into the gather loop and cost 0.82 ms -- measured dead end).
     mov_i, mov_ok, n_mov, mov_buf_over = compact_mask(is_mover, m_cap)
     mov_src = jnp.minimum(flat0[mov_i], S * V - 1)
-    mov_cell = jnp.where(mov_ok, sw.new_cell.ravel()[mov_src], V)
+    mov_cell = jnp.where(mov_ok, pool_take(sw.new_cell, mov_src), V)
 
     # Vacate mover sources first, then fill (see ops/rebin.py docstring for
     # the documented parallel-semantics deviation).
@@ -300,9 +300,9 @@ def rebin_and_register(
         )
         cols_m = (
             px[mov_i], py[mov_i], pz[mov_i],
-            particles.vx.ravel()[safe_src],
-            particles.vy.ravel()[safe_src],
-            particles.vz.ravel()[safe_src],
+            pool_take(particles.vx, safe_src),
+            pool_take(particles.vy, safe_src),
+            pool_take(particles.vz, safe_src),
             w[mov_i],
         )
         own_over = jnp.int32(0)
@@ -314,9 +314,9 @@ def rebin_and_register(
         exp = (
             mov_cell,
             px[mov_i], py[mov_i], pz[mov_i],
-            particles.vx.ravel()[mov_src],
-            particles.vy.ravel()[mov_src],
-            particles.vz.ravel()[mov_src],
+            pool_take(particles.vx, mov_src),
+            pool_take(particles.vy, mov_src),
+            pool_take(particles.vz, mov_src),
             w[mov_i],
             tags[mov_i],
             mov_ok & (mov_cell < cfg.voxel_num),

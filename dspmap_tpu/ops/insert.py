@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import (I32_MAX, compact_mask, group_ranks,
+from .common import (I32_MAX, compact_mask, group_ranks, pool_put,
                      sort_by_destination)
 
 
@@ -100,28 +100,18 @@ def scatter_candidates(
     keep = flat < S * V
 
     def scatter_all(particles, s_flat, cols):
+        # (row, col) scatters into the native [S, V] layout -- raveled
+        # scatters paid a relayout copy pair per plane (pool_put).
         def scat(field, vals):
-            return (
-                field.ravel()
-                .at[s_flat]
-                .set(vals, mode="drop", unique_indices=True)
-                .reshape(S, V)
-            )
+            return pool_put(field, s_flat, vals)
 
-        flags = (
-            particles.flags.ravel()
-            .at[s_flat]
-            .set(jnp.uint8(flag), mode="drop", unique_indices=True)
-            .reshape(S, V)
-        )
+        flags = pool_put(particles.flags, s_flat,
+                         jnp.broadcast_to(jnp.uint8(flag), s_flat.shape))
         # t is write-only state (cfg.record_particle_time); callers pass
         # t=None to skip the plane scatter entirely.
-        tt = particles.t if t is None else (
-            particles.t.ravel()
-            .at[s_flat]
-            .set(jnp.float32(t), mode="drop", unique_indices=True)
-            .reshape(S, V)
-        )
+        tt = particles.t if t is None else pool_put(
+            particles.t, s_flat,
+            jnp.broadcast_to(jnp.float32(t), s_flat.shape))
         return dataclasses.replace(
             particles,
             flags=flags,

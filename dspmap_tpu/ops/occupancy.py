@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_mask, select_rows
+from .common import compact_mask, pool_take, select_rows
 from ..state import FLAG_VALID
 
 
@@ -181,8 +181,8 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     if future_movers is not None:
         fm_flat, fm_ok, fm_dropped = future_movers
         idx = jnp.minimum(fm_flat, S * V - 1)
-        fl = particles.flags.ravel()[idx]
-        wgt = particles.weight.ravel()[idx]
+        fl = pool_take(particles.flags, idx)
+        wgt = pool_take(particles.weight, idx)
         sel = (
             fm_ok
             & (fl != 0)
@@ -195,13 +195,13 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
         idx, sel, n_moving, n_overflow = compact_mask(
             moving, cfg.mover_capacity
         )
-        wgt = particles.weight.ravel()[idx]
-    m_px = particles.px.ravel()[idx]
-    m_py = particles.py.ravel()[idx]
-    m_pz = particles.pz.ravel()[idx]
-    m_vx = particles.vx.ravel()[idx]
-    m_vy = particles.vy.ravel()[idx]
-    m_vz = particles.vz.ravel()[idx]
+        wgt = pool_take(particles.weight, idx)
+    m_px = pool_take(particles.px, idx)
+    m_py = pool_take(particles.py, idx)
+    m_pz = pool_take(particles.pz, idx)
+    m_vx = pool_take(particles.vx, idx)
+    m_vy = pool_take(particles.vy, idx)
+    m_vz = pool_take(particles.vz, idx)
     m_w = jnp.where(sel, wgt, 0.0)
 
     if shard is not None:
@@ -221,17 +221,14 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     if shard is not None:
         ok = ok & shard.owns(cell, V)
         cell = cell - shard.lo
-    # one combined scatter-add into the flattened [V, T] grid
-    tgt = jnp.where(
-        ok,
-        cell * T + jnp.arange(T, dtype=jnp.int32)[:, None],
-        V * T,
+    # one combined (row, col) scatter-add into the native [V, T] layout
+    # (a raveled scatter pays a relayout copy pair; see common.pool_put)
+    rows = jnp.where(ok, cell, V)  # [T, D]
+    cols = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[:, None], rows.shape
     )
-    future = (
-        future.ravel()
-        .at[tgt.ravel()]
-        .add(jnp.broadcast_to(m_w[None, :], tgt.shape).ravel(), mode="drop")
-        .reshape(V, T)
+    future = future.at[rows, cols].add(
+        jnp.broadcast_to(m_w[None, :], rows.shape), mode="drop"
     )
 
     valid_in = particles.valid

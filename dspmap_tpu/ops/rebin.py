@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_and_group
+from .common import compact_and_group, pool_take
 from .insert import insert_sorted
 
 
@@ -56,7 +56,7 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t):
     )
 
     def gather(field):
-        return field.ravel()[idx]
+        return pool_take(field, idx)
 
     payload = jnp.stack(
         [

@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
+from .common import pool_put
 from .fov import FovBinning
 from .project import Observation
 
@@ -346,14 +347,13 @@ def measurement_update(
         )
         n_updated = n_updated + jnp.sum(upd_sp)
 
-    weight = particles.weight.ravel().at[slot].set(vals_w, mode="drop")
+    weight = pool_put(particles.weight, slot, vals_w)
     if cfg.record_particle_time:
-        t = particles.t.ravel().at[slot].set(update_time, mode="drop")
-        new_particles = dataclasses.replace(
-            particles, weight=weight.reshape(S, V), t=t.reshape(S, V)
-        )
+        t = pool_put(particles.t, slot,
+                     jnp.broadcast_to(update_time, slot.shape))
+        new_particles = dataclasses.replace(particles, weight=weight, t=t)
     else:
-        new_particles = dataclasses.replace(particles, weight=weight.reshape(S, V))
+        new_particles = dataclasses.replace(particles, weight=weight)
     stats = {
         "updated_particles": n_updated,
         "obs_spill_overflow": obs.spill_overflow,
