@@ -83,17 +83,25 @@ def particle_birth(
         owned = point_valid & shard.owns(cell_g, V_local)
         cell = jnp.clip(cell_g - shard.lo, 0, V_local - 1)
 
-    slot_flags = particles.flags[:, cell]  # [S, P]
-    considered = (slot_flags != 0) & (slot_flags != FLAG_NEWBORN) & owned
+    # Per-VOXEL class-weight tables by one slot-axis reduce over the pool,
+    # then cheap [P] row gathers -- the per-point column-gather form
+    # (``particles.weight[:, cell]`` etc.) made XLA materialize a
+    # dim-transposed {0,1} copy of all five pool planes to serve the [S, P]
+    # column gathers (~1.5 ms/frame of physical transposes; docs/PERF.md
+    # round-2 log).  The reduce reads the same planes sequentially instead.
+    considered = (particles.flags != 0) & (particles.flags != FLAG_NEWBORN)
     l1 = (
-        jnp.abs(particles.vx[:, cell])
-        + jnp.abs(particles.vy[:, cell])
-        + jnp.abs(particles.vz[:, cell])
-    )
-    w_slot = particles.weight[:, cell] * considered
-    w_static = jnp.sum(jnp.where(l1 < 0.1, w_slot, 0.0), axis=0)
-    w_mid = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_slot, 0.0), axis=0)
-    w_dyn = jnp.sum(jnp.where(l1 >= 0.5, w_slot, 0.0), axis=0)
+        jnp.abs(particles.vx)
+        + jnp.abs(particles.vy)
+        + jnp.abs(particles.vz)
+    )  # [S, V]
+    w_c = jnp.where(considered, particles.weight, 0.0)
+    w_static_v = jnp.sum(jnp.where(l1 < 0.1, w_c, 0.0), axis=0)  # [V]
+    w_mid_v = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_c, 0.0), axis=0)
+    w_dyn_v = jnp.sum(jnp.where(l1 >= 0.5, w_c, 0.0), axis=0)
+    w_static = jnp.where(owned, w_static_v[cell], 0.0)  # [P]
+    w_mid = jnp.where(owned, w_mid_v[cell], 0.0)
+    w_dyn = jnp.where(owned, w_dyn_v[cell], 0.0)
     if shard is not None:
         w_static, w_mid, w_dyn = jax.lax.psum(
             (w_static, w_mid, w_dyn), shard.axis

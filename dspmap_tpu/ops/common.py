@@ -63,6 +63,57 @@ def pool_take(plane: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     return plane[flat // V, flat % V]
 
 
+def pool_take_stacked(planes, flat: jnp.ndarray):
+    """Gather the same flat pool positions from F ``[S, V]`` planes with ONE
+    window gather over a ``[F, S, V]`` stack: each index fetches an
+    ``(F, 1, 1)`` window, so the per-row index-processing cost is paid once
+    for all F fields (~3.5 ns/element vs ~11 ns for F independent pair
+    gathers; docs/PERF.md round-2 microbench).  The stack itself is F
+    contiguous plane copies at HBM bandwidth.  Non-f32 planes ride as
+    bitcast lanes.  Out-of-range ``flat`` clamps (CLIP), matching
+    :func:`pool_take`.  Returns one column per input plane, in order.
+
+    No sorted-indices hint: compaction buffers carry garbage (possibly
+    non-monotonic) index values in their invalid tail, and a violated
+    ``indices_are_sorted`` produced wrong gathers for VALID rows on TPU
+    (observed: phantom particles surviving pyramid-overflow kills).
+
+    Integer lanes ride as exact f32 VALUES (``astype``), not bitcasts:
+    small-integer bit patterns are f32 denormals, and the TPU VPU flushes
+    denormals to zero somewhere in the stack/gather data path (observed:
+    all tag bits silently cleared on device, correct under the CPU
+    backend).  Exactness requires ``|v| < 2**24``; every pool integer here
+    (tags < 2^17, cells < 2^23, flat slots <= S*V < 2^22) qualifies.
+    """
+    V = planes[0].shape[-1]
+    S = planes[0].shape[0]
+    f32 = [
+        p if p.dtype == jnp.float32 else p.astype(jnp.float32)
+        for p in planes
+    ]
+    st = jnp.stack(f32)  # [F, S, V]
+    safe = jnp.clip(flat, 0, S * V - 1)
+    ids = jnp.stack([safe // V, safe % V], axis=1)
+    out = jax.lax.gather(
+        st,
+        ids,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(1, 2),
+            start_index_map=(1, 2),
+        ),
+        slice_sizes=(len(planes), 1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # [N, F]
+    cols = []
+    for i, p in enumerate(planes):
+        c = out[:, i]
+        if p.dtype != jnp.float32:
+            c = c.astype(p.dtype)
+        cols.append(c)
+    return cols
+
+
 def pool_put(plane: jnp.ndarray, flat: jnp.ndarray, vals) -> jnp.ndarray:
     """Scatter ``vals`` at flat pool positions of a 2D ``[S, V]`` plane by
     (row, col) pair; drops out-of-range rows (the ``S*V`` drop sentinel).

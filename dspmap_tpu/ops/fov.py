@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..config import MapConfig
 from .. import geometry
 from .common import (compact_and_group, compact_mask, pool_put, pool_take,
+                     pool_take_stacked,
                      group_ranks, sort_by_destination)
 
 
@@ -76,7 +77,7 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
     # Kill overflow particles (dsp_dynamic.h:1256-1259).
     kill_flat = jnp.where(kill, idx, S * V)
     flags = pool_put(particles.flags, kill_flat,
-                     jnp.broadcast_to(jnp.uint8(0), kill_flat.shape))
+                     jnp.broadcast_to(jnp.int32(0), kill_flat.shape))
 
     if cols is None:
         px = pool_take(particles.px, idx)
@@ -94,14 +95,22 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
     # Dense binned tensors: all scatters hit unique (pyramid, rank) cells.
     # One stacked [M, 7] scatter replaces five separate ones (XLA scatter
     # cost is per index row; measured 1.2 -> 0.8 ms at 32k candidates).
-    # The slot ids ride along bitcast to f32, so they round-trip exactly.
+    # The slot ids ride along bitcast to f32 with bit 30 forced on: small
+    # integers bitcast to f32 DENORMALS, and the TPU VPU flushes denormals
+    # to zero when a fusion routes the lane through float datapaths (a
+    # fusion-shape-dependent, silent corruption -- observed when an
+    # upstream gather refactor changed this scatter's producer fusion).
+    # Bit 30 makes the exponent field nonzero (a normal float) for any
+    # id < 2^30; ids here are flat pool slots < S*V.
     cell = jnp.where(keep, cand_pyr * S_t + ranks, grid_cap)
     upd = jnp.stack(
         [px, py, pz, w, rng_c, keep.astype(jnp.float32),
-         jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=-1
+         jax.lax.bitcast_convert_type(idx | 0x40000000, jnp.float32)],
+        axis=-1
     )  # [M, 7]
     fill = jnp.zeros((7,), jnp.float32).at[6].set(
-        jax.lax.bitcast_convert_type(jnp.int32(S * V), jnp.float32)
+        jax.lax.bitcast_convert_type(jnp.int32(S * V) | 0x40000000,
+                                     jnp.float32)
     )
     big = (
         jnp.broadcast_to(fill, (grid_cap + 1, 7))
@@ -112,9 +121,9 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
     bw = big[:, 3].reshape(n_pyr, S_t)
     brng = big[:, 4].reshape(n_pyr, S_t)
     bmask = (big[:, 5] > 0).reshape(n_pyr, S_t)
-    bslot = jax.lax.bitcast_convert_type(big[:, 6], jnp.int32).reshape(
-        n_pyr, S_t
-    )
+    bslot = (
+        jax.lax.bitcast_convert_type(big[:, 6], jnp.int32) & ~0x40000000
+    ).reshape(n_pyr, S_t)
 
     # Spill tier: ranks in [S_t, s_pyr) -- compacted, exact-path processed.
     if S_t < s_pyr:
@@ -252,16 +261,14 @@ def rebin_and_register(
     m_cap = cfg.mover_capacity
 
     idx, c_valid, n_sel, n_comb_over = compact_mask(sw.candidate, cap)
-    # Five separate capacity-sized gathers: the four discrete fields ride one
-    # packed `tags` plane (already fused into the sweep pass), so no
-    # interleaving stack of pool planes is ever materialized (the stacked
-    # [N, F] row-gather formulation cost ~2.2 ms/frame here; see
-    # docs/PERF.md round-2 log).
-    tags = pool_take(sw.tags, idx)
-    px = pool_take(particles.px, idx)
-    py = pool_take(particles.py, idx)
-    pz = pool_take(particles.pz, idx)
-    w = pool_take(particles.weight, idx)
+    # One window gather over a 5-plane stack: the per-row cost is paid once
+    # for all five fields (vs five pair gathers at ~11 ns/row each;
+    # common.pool_take_stacked).  compact_mask output is ascending, so the
+    # gather advertises sorted indices.
+    tags, px, py, pz, w = pool_take_stacked(
+        [sw.tags, particles.px, particles.py, particles.pz,
+         particles.weight], idx,
+    )
     is_mover = ((tags & 1) != 0) & c_valid
     is_fov = ((tags & 2) != 0) & c_valid
     is_moving = ((tags & 4) != 0) & c_valid
@@ -283,7 +290,7 @@ def rebin_and_register(
 
     # Vacate mover sources first, then fill (see ops/rebin.py docstring for
     # the documented parallel-semantics deviation).
-    flags_vac = jnp.where(sw.mover, jnp.uint8(0), particles.flags)
+    flags_vac = jnp.where(sw.mover, jnp.int32(0), particles.flags)
     vacated = dataclasses.replace(particles, flags=flags_vac)
     n_before = jnp.sum(vacated.valid)
 
@@ -341,7 +348,7 @@ def rebin_and_register(
         n_arrivals = jnp.minimum(n_own, m_cap)
 
     new_particles = scatter_candidates(
-        vacated, new_flat, cols_m, jnp.uint8(1),
+        vacated, new_flat, cols_m, jnp.int32(1),
         update_time if cfg.record_particle_time else None,
     )
     n_inserted = jnp.sum(new_particles.valid) - n_before

@@ -106,7 +106,7 @@ def scatter_candidates(
             return pool_put(field, s_flat, vals)
 
         flags = pool_put(particles.flags, s_flat,
-                         jnp.broadcast_to(jnp.uint8(flag), s_flat.shape))
+                         jnp.broadcast_to(jnp.int32(flag), s_flat.shape))
         # t is write-only state (cfg.record_particle_time); callers pass
         # t=None to skip the plane scatter entirely.
         tt = particles.t if t is None else pool_put(

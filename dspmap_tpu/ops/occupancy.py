@@ -48,7 +48,7 @@ def _pool_pass_xla(particles, cfg: MapConfig):
     # ---- weight cull (dsp_dynamic.h:941-942) ---------------------------
     flags = jnp.where(
         particles.valid & (particles.weight < cfg.weight_cull_threshold),
-        jnp.uint8(0),
+        jnp.int32(0),
         particles.flags,
     )
     valid = flags != 0
@@ -108,7 +108,7 @@ def _pool_pass_xla(particles, cfg: MapConfig):
     new_w = jnp.where(kept, wa * (1.0 + unplaced), w)
     new_w = jnp.where(filled, wa, new_w)
     new_flags = jnp.where(valid, FLAG_VALID, flags)  # newborn reset (:968)
-    new_flags = jnp.where(dropped, jnp.uint8(0), new_flags)
+    new_flags = jnp.where(dropped, jnp.int32(0), new_flags)
     new_flags = jnp.where(filled, FLAG_VALID, new_flags)
 
     def place(field):

@@ -133,7 +133,7 @@ def _kernel(*refs, cfg: MapConfig, S: int, with_t: bool, with_moving: bool):
     new_flags = jnp.where(dropped, 0, new_flags)
     new_flags = jnp.where(filled, 1, new_flags)
 
-    oflags_ref[...] = new_flags.astype(jnp.uint8)
+    oflags_ref[...] = new_flags.astype(jnp.int32)
     ow_ref[...] = new_w
 
     pairs = [(px_ref, opx_ref), (py_ref, opy_ref), (pz_ref, opz_ref),
@@ -175,7 +175,7 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
 
     n_planes = 8 + with_t  # in: flags,w,pos,vel[,t]; out: same + aggregates
     out_shape = (
-        [jax.ShapeDtypeStruct((S, V), jnp.uint8)]
+        [jax.ShapeDtypeStruct((S, V), jnp.int32)]
         + [jax.ShapeDtypeStruct((S, V), jnp.float32)
            for _ in range(n_planes - 1)]
         + ([jax.ShapeDtypeStruct((S, V), jnp.bool_)] if with_moving else [])

@@ -78,7 +78,7 @@ def _kernel(scal_ref, iscal_ref, flags_ref, px_ref, py_ref, pz_ref,
         & (rz >= 0) & (rz < cfg.nz)
     )
     moved_out = valid & ~inside
-    new_flags = jnp.where(moved_out, jnp.uint8(0), flags)
+    new_flags = jnp.where(moved_out, jnp.int32(0), flags)
 
     cx = sox + jnp.clip(rx, 0, cfg.nx - 1)
     cy = soy + jnp.clip(ry, 0, cfg.ny - 1)
@@ -168,7 +168,7 @@ def sweep_pallas(particles, cfg: MapConfig, dt, origin, sensor_pos, quat,
         out_shape=[
             jax.ShapeDtypeStruct((S, V), jnp.float32),
             jax.ShapeDtypeStruct((S, V), jnp.float32),
-            jax.ShapeDtypeStruct((S, V), jnp.uint8),
+            jax.ShapeDtypeStruct((S, V), jnp.int32),
             jax.ShapeDtypeStruct((S, V), jnp.int32),
             jax.ShapeDtypeStruct((S, V), jnp.int32),
         ],

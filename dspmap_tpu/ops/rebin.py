@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import compact_and_group, pool_take
+from .common import compact_and_group, pool_take_stacked
 from .insert import insert_sorted
 
 
@@ -55,27 +55,24 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t):
         mover, new_cell, cfg.mover_capacity, V
     )
 
-    def gather(field):
-        return pool_take(field, idx)
-
     payload = jnp.stack(
-        [
-            gather(particles.px), gather(particles.py), gather(particles.pz),
-            gather(particles.vx), gather(particles.vy), gather(particles.vz),
-            gather(particles.weight),
-        ],
+        pool_take_stacked(
+            [particles.px, particles.py, particles.pz,
+             particles.vx, particles.vy, particles.vz,
+             particles.weight], idx,
+        ),
         axis=-1,
     )
 
     # Vacate: movers and window leavers leave their source slots.
-    flags = jnp.where(mover | moved_out, jnp.uint8(0), particles.flags)
+    flags = jnp.where(mover | moved_out, jnp.int32(0), particles.flags)
     vacated = dataclasses.replace(particles, flags=flags)
     n_before = jnp.sum(vacated.valid)
 
     new_particles, _, _ = insert_sorted(
         vacated, cfg,
         cell=cell, ranks=ranks, payload=payload, valid=sel_valid,
-        flag=jnp.uint8(1), t=t if cfg.record_particle_time else None,
+        flag=jnp.int32(1), t=t if cfg.record_particle_time else None,
     )
     n_kept = jnp.minimum(n_movers, cfg.mover_capacity)
     stats = {

@@ -95,7 +95,7 @@ def sweep_reference(
         & (rz >= 0) & (rz < cfg.nz)
     )
     moved_out = valid & ~inside
-    flags = jnp.where(moved_out, jnp.uint8(0), particles.flags)
+    flags = jnp.where(moved_out, jnp.int32(0), particles.flags)
 
     new_cell = geometry.storage_index_from_rel(rx, ry, rz, origin, cfg)
     current = jnp.broadcast_to(

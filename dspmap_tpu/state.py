@@ -34,9 +34,14 @@ import jax.numpy as jnp
 
 from .config import MapConfig
 
-FLAG_DEAD = jnp.uint8(0)
-FLAG_VALID = jnp.uint8(1)
-FLAG_NEWBORN = jnp.uint8(3)
+# int32 rather than uint8: sub-word pool planes pay a byte-packed
+# (4,1)-tiled relayout copy around every scatter (~0.57 ms/frame vs
+# ~0.04 ms for a word-sized plane; docs/PERF.md round-2 log).  The
+# extra read bandwidth (9 MB/pass) is noise next to that.
+FLAG_DTYPE = jnp.int32
+FLAG_DEAD = jnp.int32(0)
+FLAG_VALID = jnp.int32(1)
+FLAG_NEWBORN = jnp.int32(3)
 
 
 @partial(
@@ -53,7 +58,7 @@ class Particles:
     frame (see geometry module docstring for the world-vs-ego deviation).
     """
 
-    flags: jnp.ndarray  # uint8 [S, V]
+    flags: jnp.ndarray  # int32 [S, V] (see FLAG_DTYPE note above)
     px: jnp.ndarray  # f32 [S, V]
     py: jnp.ndarray
     pz: jnp.ndarray
@@ -175,7 +180,7 @@ def init_state(
     ).astype(np.int32)
     zeros = lambda: np.zeros((s, v), np.float32)
     particles = Particles(
-        flags=np.zeros((s, v), np.uint8),
+        flags=np.zeros((s, v), np.int32),
         px=zeros(), py=zeros(), pz=zeros(),
         vx=zeros(), vy=zeros(), vz=zeros(),
         weight=zeros(), t=zeros(),

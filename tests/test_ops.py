@@ -59,7 +59,7 @@ def test_insert_respects_capacity_and_order():
         state.particles, cfg,
         pos=pos, vel=vel, weight=w,
         valid=jnp.ones((M,), bool),
-        origin=state.origin, flag=jnp.uint8(3), t=0.0,
+        origin=state.origin, flag=jnp.int32(3), t=0.0,
     )
     assert int(jnp.sum(p.valid)) == S
     cell = int(geometry.storage_index(geometry.world_voxel(center, cfg), cfg))
@@ -87,11 +87,11 @@ def test_insert_compact_bucket_exact():
     for budget in (64, 8):  # fits / overflows (rank<S survivors vs budget)
         full = insert_particles(
             state.particles, cfg, pos=pos, vel=vel, weight=w, valid=valid,
-            origin=state.origin, flag=jnp.uint8(3), t=1.5, compact_to=None,
+            origin=state.origin, flag=jnp.int32(3), t=1.5, compact_to=None,
         )
         bucketed = insert_particles(
             state.particles, cfg, pos=pos, vel=vel, weight=w, valid=valid,
-            origin=state.origin, flag=jnp.uint8(3), t=1.5, compact_to=budget,
+            origin=state.origin, flag=jnp.int32(3), t=1.5, compact_to=budget,
         )
         for f in ("flags", "px", "py", "pz", "vx", "vy", "vz", "weight", "t"):
             np.testing.assert_array_equal(
@@ -108,7 +108,7 @@ def test_insert_drops_out_of_window():
         state.particles, cfg,
         pos=pos, vel=jnp.zeros((2, 3)), weight=jnp.ones((2,)),
         valid=jnp.ones((2,), bool),
-        origin=state.origin, flag=jnp.uint8(1), t=0.0,
+        origin=state.origin, flag=jnp.int32(1), t=0.0,
     )
     assert int(jnp.sum(p.valid)) == 1
 
@@ -158,7 +158,7 @@ def test_update_tier_invariance():
         vel=jnp.zeros((len(pos), 3)),
         weight=jnp.asarray(w),
         valid=jnp.ones((len(pos),), bool),
-        origin=state.origin, flag=jnp.uint8(1), t=0.0,
+        origin=state.origin, flag=jnp.int32(1), t=0.0,
     )
 
     # clustered measurement points (forces obs-tier spill)
@@ -234,7 +234,7 @@ def test_resample_matches_serial_oracle_mass_and_counts():
     # populate a band of voxels with random particles
     n_vox = 50
     cells = rng.choice(V, size=n_vox, replace=False)
-    flags = np.zeros((S, V), np.uint8)
+    flags = np.zeros((S, V), np.int32)
     weights = np.zeros((S, V), np.float32)
     for c in cells:
         k = rng.integers(1, S + 1)
@@ -287,3 +287,28 @@ def test_resample_matches_serial_oracle_mass_and_counts():
             fut[c], np.full(cfg.n_horizons, weights[:, c][flags[:, c] > 0].sum()),
             rtol=1e-5,
         )
+
+
+def test_pool_take_stacked_matches_pair_gathers():
+    """One [F,S,V] window gather == F independent pair gathers, including
+    integer lanes (which ride as exact f32 values -- small ints bitcast to
+    f32 denormals that the TPU VPU can silently flush to zero, so the
+    bitcast formulation is forbidden; ops/common.py pool_take_stacked)."""
+    from dspmap_tpu.ops.common import pool_take, pool_take_stacked
+
+    rng = np.random.default_rng(3)
+    S, V, N = 6, 515, 257
+    planes = [
+        jnp.asarray(rng.normal(size=(S, V)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 1 << 17, (S, V)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, 1 << 20, (S, V)).astype(np.uint32)),
+    ]
+    flat = jnp.asarray(
+        np.concatenate([rng.integers(0, S * V, N - 8),
+                        np.full(8, S * V)]).astype(np.int32)
+    )  # incl. the out-of-range sentinel (clamps)
+    got = jax.jit(pool_take_stacked)(planes, flat)
+    want = [pool_take(p, jnp.minimum(flat, S * V - 1)) for p in planes]
+    for g, w, p in zip(got, want, planes):
+        assert g.dtype == p.dtype
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

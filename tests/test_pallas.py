@@ -79,7 +79,7 @@ def test_occupancy_kernel_matches_xla(safety):
     rng = np.random.default_rng(safety)
     state = dm.init_state(cfg, jax.random.key(0))
     S, V = cfg.slots_per_voxel, cfg.voxel_num
-    flags = np.zeros((S, V), np.uint8)
+    flags = np.zeros((S, V), np.int32)
     weights = np.zeros((S, V), np.float32)
     vx = np.zeros((S, V), np.float32)
     for c in rng.choice(V, size=300, replace=False):

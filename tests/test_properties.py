@@ -77,7 +77,7 @@ def test_insert_capacity_and_payload_integrity(seed):
         state.particles, cfg,
         pos=jnp.asarray(pos), vel=jnp.zeros((m, 3)), weight=jnp.asarray(w),
         valid=jnp.ones((m,), bool), origin=state.origin,
-        flag=jnp.uint8(3), t=0.0,
+        flag=jnp.int32(3), t=0.0,
     )
     S = cfg.slots_per_voxel
     # per-voxel occupancy never exceeds capacity; kept payloads intact
@@ -104,7 +104,7 @@ def test_resample_conserves_mass_in_resampled_voxels(seed):
     rng = np.random.default_rng(seed)
     state = init_state(cfg, jax.random.key(0))
     S, V = cfg.slots_per_voxel, cfg.voxel_num
-    flags = (rng.random((S, V)) < 0.4).astype(np.uint8)
+    flags = (rng.random((S, V)) < 0.4).astype(np.int32)
     weights = np.where(flags > 0, rng.uniform(2e-3, 1.0, (S, V)), 0.0).astype(
         np.float32
     )
