@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 
@@ -46,7 +47,14 @@ def euclidean_cluster(
     sq_norm = jnp.sum(points * points, axis=-1)  # [n]
     tol2 = jnp.float32(tolerance * tolerance)
     sentinel = jnp.int32(n)
-    labels = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), sentinel)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    labels = jnp.where(valid, iota, sentinel)
+    # (A tolerance-cell seeding pass -- same-cell points share their min
+    # index before the first sweep -- was measured a net LOSS: the while
+    # loop ran the same 3-5 sweeps regardless (label doubling already has
+    # exponential reach) and the seeding sort/scatter added ~1 ms of fused
+    # overhead around the estimator cond.  docs/PERF.md round-2 log.)
 
     d2 = (
         sq_norm[:, None]

@@ -208,24 +208,37 @@ def insert_particles(
     order, sorted_dest, ranks_sorted = sort_by_destination(dest, valid)
     cols = (pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
             weight)
+    payload = jnp.concatenate([pos, vel, weight[:, None]], axis=1)  # [M, 7]
 
     if compact_to is not None and compact_to < M:
         eligible = (sorted_dest < I32_MAX) & (ranks_sorted < S)
         c_pos, c_valid, _, n_over = compact_mask(eligible, compact_to)
 
         def small(particles):
-            cell_c = jnp.where(c_valid, sorted_dest[c_pos], V)
+            # One window-2 gather fetches (clamped dest, source index) per
+            # compacted position; one 7-wide contiguous row gather fetches
+            # the whole payload -- replacing five budget-sized gathers
+            # (same per-row economics as common.pool_take_stacked; both
+            # int lanes ride as exact f32 values < 2^24).
+            dest_v = jnp.minimum(sorted_dest, V).astype(jnp.float32)
+            pair = jnp.stack([dest_v, order.astype(jnp.float32)])  # [2, M]
+            got = jax.lax.gather(
+                pair, c_pos[:, None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(1,),
+                    start_index_map=(1,)),
+                slice_sizes=(2, 1),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )  # [compact_to, 2]
+            cell_c = jnp.where(c_valid, got[:, 0].astype(jnp.int32), V)
+            src = got[:, 1].astype(jnp.int32)
             # compaction preserves sorted run order and keeps exactly the
             # first min(S, count) of each run, so ranks recompute exactly
             # from the compacted keys -- one fewer budget-sized gather
             ranks_c = group_ranks(cell_c)
-            src = order[c_pos]  # original candidate index
             flat_c, _ = allocate_slots(particles, cell_c, ranks_c, c_valid)
-            # pos/vel are [M, 3] already: two native row gathers + one flat
-            # gather beat a 7-plane interleaving stack (docs/PERF.md).
-            pos_c, vel_c, w_c = pos[src], vel[src], weight[src]
-            cols_c = (pos_c[:, 0], pos_c[:, 1], pos_c[:, 2],
-                      vel_c[:, 0], vel_c[:, 1], vel_c[:, 2], w_c)
+            pay_c = payload[src]  # [compact_to, 7] contiguous rows
+            cols_c = tuple(pay_c[:, i] for i in range(7))
             return scatter_candidates(
                 particles, flat_c, cols_c, flag, t, None
             )
