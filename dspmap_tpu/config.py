@@ -215,6 +215,17 @@ class MapConfig:
         return self.max_particles_per_voxel * self.voxel_slot_safety_factor
 
     @property
+    def storage_voxels(self) -> int:
+        """Physical pool-plane width: ``voxel_num`` rounded up to a multiple
+        of 1024.  The pad columns are dead storage (``storage_index`` is
+        always < ``voxel_num``, so nothing is ever inserted or killed
+        there; readouts gather through [voxel_num]-sized index tables) --
+        they exist so the flat view of a pool plane is tile-aligned, which
+        the DMA relayout kernels (ops/pallas/relayout.py) require for
+        their 1-D slice offsets.  Cost: <= 1023 dead voxels (< 1.4%%)."""
+        return _round_up(self.voxel_num, 1024)
+
+    @property
     def n_pyramids_h(self) -> int:
         return 2 * self.half_fov_h_deg // self.angle_resolution_deg
 

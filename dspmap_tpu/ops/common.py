@@ -114,12 +114,30 @@ def pool_take_stacked(planes, flat: jnp.ndarray):
     return cols
 
 
+#: planes at/above this size take the DMA-relayout scatter path: XLA's own
+#: flat<->tiled relayout around a linearized pool scatter degrades to a
+#: chunked ~35 GB/s loop once the plane exceeds VMEM (measured 12-14 ms per
+#: scatter site at large_urban's 216 MB planes vs 4.7 ms through
+#: ops/pallas/relayout.py kernels; below VMEM size XLA's single-copy path
+#: is already optimal).
+_DMA_RELAYOUT_BYTES = 64 << 20
+
+
 def pool_put(plane: jnp.ndarray, flat: jnp.ndarray, vals) -> jnp.ndarray:
     """Scatter ``vals`` at flat pool positions of a 2D ``[S, V]`` plane by
     (row, col) pair; drops out-of-range rows (the ``S*V`` drop sentinel).
     Avoids the ravel-scatter-reshape relayout pair (measured 2x;
-    docs/PERF.md)."""
-    V = plane.shape[-1]
+    docs/PERF.md).  Huge planes route through the DMA relayout kernels
+    (see ``_DMA_RELAYOUT_BYTES``)."""
+    S, V = plane.shape[0], plane.shape[-1]
+    if (plane.ndim == 2 and S * V * plane.dtype.itemsize >= _DMA_RELAYOUT_BYTES
+            and V % 1024 == 0 and jax.default_backend() != "cpu"):
+        from .pallas.relayout import from_flat, to_flat
+
+        f = to_flat(plane).at[flat].set(
+            vals, mode="drop", unique_indices=True
+        )
+        return from_flat(f, S, V)
     return plane.at[flat // V, flat % V].set(
         vals, mode="drop", unique_indices=True
     )

@@ -56,9 +56,9 @@ def make_shardmap_step(cfg: MapConfig, mesh=None, with_metrics: bool = True):
 
     mesh = mesh if mesh is not None else make_mesh()
     n = mesh.devices.size
-    V = cfg.voxel_num
+    V = cfg.storage_voxels
     if V % n != 0:
-        raise ValueError(f"voxel_num {V} not divisible by mesh size {n}")
+        raise ValueError(f"storage_voxels {V} not divisible by mesh size {n}")
     v_local = V // n
 
     def body(state, frame):

@@ -111,7 +111,7 @@ def make_sharded_step(cfg: MapConfig, mesh: Mesh, step=None,
         )
     st_shardings = state_shardings(mesh, template_state)
     repl = NamedSharding(mesh, P())
-    V = cfg.voxel_num
+    V = cfg.storage_voxels
 
     def out_sharding(leaf):
         if leaf.ndim >= 1 and leaf.shape[0] == V:

@@ -170,7 +170,7 @@ def init_state(
     """
     import numpy as np
 
-    s, v = cfg.slots_per_voxel, cfg.voxel_num
+    s, v = cfg.slots_per_voxel, cfg.storage_voxels
     # Build on host with numpy (a fresh state is all zeros) and transfer in
     # one piece -- per-op eager dispatch is expensive on remote backends.
     sensor_np = np.asarray(sensor_pos, np.float32)

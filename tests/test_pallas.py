@@ -144,3 +144,17 @@ def test_update_pair_kernels_match_xla():
                                    jnp.asarray(pts), sigma, interpret=True))
     np.testing.assert_allclose(got1, want1, rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=1e-6)
+
+
+def test_relayout_round_trip_interpret():
+    """to_flat/from_flat == ravel/reshape (interpret mode; the TPU path is
+    exercised by bench/large_urban)."""
+    from dspmap_tpu.ops.pallas.relayout import from_flat, to_flat
+
+    rng = np.random.default_rng(11)
+    for S, V in [(18, 2048), (10, 1024), (60, 3072)]:
+        plane = jnp.asarray(rng.normal(size=(S, V)).astype(np.float32))
+        f = to_flat(plane, interpret=True)
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(plane).ravel())
+        r = from_flat(f, S, V, interpret=True)
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(plane))

@@ -103,13 +103,17 @@ def test_resample_conserves_mass_in_resampled_voxels(seed):
     cfg = tiny()
     rng = np.random.default_rng(seed)
     state = init_state(cfg, jax.random.key(0))
-    S, V = cfg.slots_per_voxel, cfg.voxel_num
+    # planes are storage_voxels wide (1024-padded); the pad columns past
+    # voxel_num are dead storage and must stay empty
+    S, V = cfg.slots_per_voxel, cfg.storage_voxels
     flags = (rng.random((S, V)) < 0.4).astype(np.int32)
+    flags[:, cfg.voxel_num:] = 0
     weights = np.where(flags > 0, rng.uniform(2e-3, 1.0, (S, V)), 0.0).astype(
         np.float32
     )
     wv_all = np.asarray(geometry.storage_to_world_voxel(state.origin, cfg))
-    centers = (wv_all + 0.5) * cfg.voxel_resolution
+    centers = np.zeros((V, 3), np.float32)
+    centers[: cfg.voxel_num] = (wv_all + 0.5) * cfg.voxel_resolution
     p = dataclasses.replace(
         state.particles,
         flags=jnp.asarray(flags), weight=jnp.asarray(weights),
