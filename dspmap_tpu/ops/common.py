@@ -84,9 +84,15 @@ def pool_take_stacked(planes, flat: jnp.ndarray):
     all tag bits silently cleared on device, correct under the CPU
     backend).  Exactness requires ``|v| < 2**24``; every pool integer here
     (tags < 2^17, cells < 2^23, flat slots <= S*V < 2^22) qualifies.
+
+    Truly huge plane sets (>= 256 MB stacked) fall back to independent
+    pair gathers: the F-plane stack copy scales with the POOL (e.g. 1 GB
+    at large_urban), dwarfing the per-row gather saving.
     """
     V = planes[0].shape[-1]
     S = planes[0].shape[0]
+    if planes[0].ndim == 2 and S * V * 4 * len(planes) >= (256 << 20):
+        return [pool_take(p, jnp.clip(flat, 0, S * V - 1)) for p in planes]
     f32 = [
         p if p.dtype == jnp.float32 else p.astype(jnp.float32)
         for p in planes
@@ -120,7 +126,7 @@ def pool_take_stacked(planes, flat: jnp.ndarray):
 #: scatter site at large_urban's 216 MB planes vs 4.7 ms through
 #: ops/pallas/relayout.py kernels; below VMEM size XLA's single-copy path
 #: is already optimal).
-_DMA_RELAYOUT_BYTES = 64 << 20
+_DMA_RELAYOUT_BYTES = 16 << 20
 
 
 def pool_put(plane: jnp.ndarray, flat: jnp.ndarray, vals) -> jnp.ndarray:
