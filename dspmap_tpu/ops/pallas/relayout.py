@@ -5,8 +5,8 @@ Why these exist: every pool scatter (particle insertion, overflow kills, the
 measurement-update weight writeback) is linearized by XLA TPU into a flat
 ``[S*V]`` scatter, with a relayout copy of the whole plane on each side.
 For planes that fit VMEM (~16 MB) XLA's relayout is a single fast copy
-(~0.04 ms at the flagship's 12.5 MB); for bigger planes it falls off a
-cliff into a chunked while/dynamic-update-slice loop at ~35 GB/s
+(~0.04 ms at the flagship's 12.5 MB planes); for bigger planes it falls off
+a cliff into a chunked while/dynamic-update-slice loop at ~35 GB/s
 (measured: 0.2-0.4 ms per relayout at the multi-neighbor variant's 18 MB
 planes, ~12 ms at large_urban's 216 MB -- dominating that config's frame).
 
@@ -21,7 +21,10 @@ plane is not expressible):
 * the flat side moves via one manual DMA per row: 1-D slices at offsets
   ``(8g + r)*V + j*Vc``, which are 1024-aligned because ``V =
   cfg.storage_voxels`` is 1024-padded and ``Vc`` is a 1024-multiple
-  divisor.
+  divisor;
+* the flat-side DMAs are double-buffered across grid steps (two scratch
+  slots; each step launches into one slot and only waits for the slot it
+  is about to reuse), overlapping them with the next block's staging.
 
 No reference counterpart (the reference's single static array has no layout
 problem, dsp_dynamic.h:116); this is TPU memory-system plumbing.
@@ -38,8 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_vc(V: int, budget_bytes: int = 2 * 1024 * 1024) -> int:
-    """Largest 1024-multiple divisor of V with an (8, Vc) f32 block within
-    budget (two such blocks live at once: pipeline buffer + scratch)."""
+    """Largest 1024-multiple divisor of V whose (8, Vc) f32 block fits the
+    budget (two slots of 8*Vc scratch live at once for double buffering)."""
     best = 1024
     for vc in range(1024, V + 1, 1024):
         if V % vc == 0 and vc * 8 * 4 <= budget_bytes:
@@ -47,30 +50,50 @@ def _pick_vc(V: int, budget_bytes: int = 2 * 1024 * 1024) -> int:
     return best
 
 
-def _rows(S: int, g: int, n_groups: int) -> int:
-    return S - 8 * g if g == n_groups - 1 and S % 8 else 8
-
-
 def _to_flat_kernel(in_ref, out_hbm, scratch, sems, *, S, V, Vc):
     g = pl.program_id(0)
     j = pl.program_id(1)
-    n_groups = pl.num_programs(0)
+    n_j = pl.num_programs(1)
+    step = g * n_j + j
+    slot = step % 2
+    total = ((S + 7) // 8) * n_j
     full = S // 8
 
     def emit(n_rows):
+        # wait for the DMAs still in flight on the slot we are reusing
+        @pl.when(step >= 2)
+        def _():
+            for r in range(8):
+                pltpu.make_async_copy(
+                    scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                    scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                    sems.at[slot * 8 + r],
+                ).wait()
         for r in range(n_rows):
-            scratch[pl.ds(r * Vc, Vc)] = in_ref[r, :]
-        dmas = []
+            scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)] = in_ref[r, :]
         for r in range(n_rows):
-            d = pltpu.make_async_copy(
-                scratch.at[pl.ds(r * Vc, Vc)],
+            pltpu.make_async_copy(
+                scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
                 out_hbm.at[pl.ds((8 * g + r) * V + j * Vc, Vc)],
-                sems.at[r],
-            )
-            d.start()
-            dmas.append(d)
-        for d in dmas:
-            d.wait()
+                sems.at[slot * 8 + r],
+            ).start()
+        # rows beyond n_rows on this slot: self-copy so the final drain's
+        # unconditional waits always have a matching signal
+        for r in range(n_rows, 8):
+            pltpu.make_async_copy(
+                scratch.at[pl.ds(slot * 8 * Vc, Vc)],
+                scratch.at[pl.ds(slot * 8 * Vc, Vc)],
+                sems.at[slot * 8 + r],
+            ).start()
+        # final steps: drain both slots before the kernel retires
+        @pl.when(step >= total - 2)
+        def _():
+            for r in range(8):
+                pltpu.make_async_copy(
+                    scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                    scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                    sems.at[slot * 8 + r],
+                ).wait()
 
     if S % 8:
         @pl.when(g < full)
@@ -85,38 +108,62 @@ def _to_flat_kernel(in_ref, out_hbm, scratch, sems, *, S, V, Vc):
 
 
 def _from_flat_kernel(in_hbm, out_ref, scratch, sems, *, S, V, Vc):
+    """Prefetched: each step issues the NEXT block's flat-side DMAs into the
+    other scratch slot before waiting on its own, overlapping the loads with
+    this block's staging copies.  Row offsets for the (possibly edge) next
+    group clamp to the last valid row -- the extra reads land in scratch
+    rows that Pallas masks out of the edge output block anyway."""
     g = pl.program_id(0)
     j = pl.program_id(1)
-    full = S // 8
+    n_j = pl.num_programs(1)
+    n_g = pl.num_programs(0)
+    step = g * n_j + j
+    slot = step % 2
+    total = n_g * n_j
 
-    def pull(n_rows):
-        dmas = []
-        for r in range(n_rows):
-            d = pltpu.make_async_copy(
-                in_hbm.at[pl.ds((8 * g + r) * V + j * Vc, Vc)],
-                scratch.at[pl.ds(r * Vc, Vc)],
-                sems.at[r],
-            )
-            d.start()
-            dmas.append(d)
-        for d in dmas:
-            d.wait()
-        for r in range(n_rows):
-            out_ref[r, :] = scratch[pl.ds(r * Vc, Vc)]
+    def issue(for_step, into_slot):
+        gg = for_step // n_j
+        jj = for_step % n_j
+        for r in range(8):
+            row = jnp.minimum(8 * gg + r, S - 1)
+            pltpu.make_async_copy(
+                in_hbm.at[pl.ds(row * V + jj * Vc, Vc)],
+                scratch.at[pl.ds(into_slot * 8 * Vc + r * Vc, Vc)],
+                sems.at[into_slot * 8 + r],
+            ).start()
 
-    if S % 8:
+    @pl.when(step == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(step + 1 < total)
+    def _():
+        issue(step + 1, (step + 1) % 2)
+
+    for r in range(8):
+        pltpu.make_async_copy(
+            scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+            scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+            sems.at[slot * 8 + r],
+        ).wait()
+    n_rows = 8 if S % 8 == 0 else None
+    if n_rows == 8:
+        for r in range(8):
+            out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)]
+    else:
+        full = S // 8
+
         @pl.when(g < full)
         def _():
-            pull(8)
+            for r in range(8):
+                out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)]
 
         @pl.when(g == full)
         def _():
-            pull(S % 8)
-            # edge block: fill masked rows deterministically
+            for r in range(S % 8):
+                out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)]
             for r in range(S % 8, 8):
-                out_ref[r, :] = scratch[pl.ds(0, Vc)]
-    else:
-        pull(8)
+                out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc, Vc)]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -131,8 +178,8 @@ def to_flat(plane: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         in_specs=[pl.BlockSpec((8, Vc), lambda g, j: (g, j))],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((S * V,), plane.dtype),
-        scratch_shapes=[pltpu.VMEM((8 * Vc,), plane.dtype),
-                        pltpu.SemaphoreType.DMA((8,))],
+        scratch_shapes=[pltpu.VMEM((2 * 8 * Vc,), plane.dtype),
+                        pltpu.SemaphoreType.DMA((16,))],
         interpret=interpret,
     )(plane)
 
@@ -149,7 +196,7 @@ def from_flat(flat: jnp.ndarray, S: int, V: int,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((8, Vc), lambda g, j: (g, j)),
         out_shape=jax.ShapeDtypeStruct((S, V), flat.dtype),
-        scratch_shapes=[pltpu.VMEM((8 * Vc,), flat.dtype),
-                        pltpu.SemaphoreType.DMA((8,))],
+        scratch_shapes=[pltpu.VMEM((2 * 8 * Vc,), flat.dtype),
+                        pltpu.SemaphoreType.DMA((16,))],
         interpret=interpret,
     )(flat)
