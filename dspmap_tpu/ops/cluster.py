@@ -71,9 +71,7 @@ def euclidean_cluster(
     def sweep(labels):
         new = jnp.min(jnp.where(adj, labels[None, :], sentinel), axis=1)
         new = jnp.minimum(labels, new)
-        # pointer jumping: compress through the representative twice
-        ext = jnp.append(new, sentinel)
-        new = jnp.minimum(new, ext[jnp.minimum(new, n)])
+        # pointer jumping: compress through the representative once
         ext = jnp.append(new, sentinel)
         return jnp.minimum(new, ext[jnp.minimum(new, n)])
 

@@ -136,16 +136,21 @@ def _kernel(*refs, cfg: MapConfig, S: int, with_t: bool, with_moving: bool):
     oflags_ref[...] = new_flags.astype(jnp.int32)
     ow_ref[...] = new_w
 
+    # One placement loop for all planes: the (src_idx == j) compare is
+    # shared across the 6-7 copied fields instead of recomputed per plane
+    # (the kernel is VPU-bound on exactly these selects; docs/PERF.md).
     pairs = [(px_ref, opx_ref), (py_ref, opy_ref), (pz_ref, opz_ref),
              (vx_ref, ovx_ref), (vy_ref, ovy_ref), (vz_ref, ovz_ref)]
     if with_t:
         pairs.append((t_ref, ot_ref))
-    for f_ref, o_ref in pairs:
-        field = f_ref[...]
-        sel = jnp.broadcast_to(field[0][None, :], field.shape)
-        for j in range(1, S):
-            sel = jnp.where(src_idx == j, field[j][None, :], sel)
-        o_ref[...] = jnp.where(filled, sel, field)
+    fields = [f_ref[...] for f_ref, _ in pairs]
+    sels = [jnp.broadcast_to(f[0][None, :], f.shape) for f in fields]
+    for j in range(1, S):
+        hit = src_idx == j
+        sels = [jnp.where(hit, f[j][None, :], s)
+                for f, s in zip(fields, sels)]
+    for (f_ref, o_ref), f, s in zip(pairs, fields, sels):
+        o_ref[...] = jnp.where(filled, s, f)
 
 
 @functools.partial(
