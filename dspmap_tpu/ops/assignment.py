@@ -50,44 +50,72 @@ def solve_assignment(
 
     # e-maxx formulation with a virtual column 0; arrays are 1-indexed on the
     # column axis (size N+1), p[j] = row matched to column j (0 = none yet).
+    #
+    # The inner path loop is dispatch-bound on TPU (each sequential iteration
+    # costs ~5 us regardless of N; docs/PERF.md), so the classic per-iteration
+    # dual updates are reorganized into a cumulative-delta form with strictly
+    # fewer HLO ops per iteration:
+    #
+    # * v[j] only ever changes for USED columns, and the relaxation reads
+    #   v[j] only for UNUSED ones -- so v never needs updating inside the
+    #   loop.
+    # * u[p[j0]] for the active used column j0 grows by delta every
+    #   iteration since j0 became used, i.e. u_now[p[j0]] = u0[p[j0]] +
+    #   (D_now - D_use[j0]) where D is the running delta sum.  Substituting
+    #   into the relaxation and storing minv in "absolute" terms
+    #   M[j] = minv_now[j] + D_now (invariant between updates, since every
+    #   unused minv drops by delta exactly as D grows by delta) cancels
+    #   D_now entirely:  cand_M[j] = a[i0-1,j] - u0[i0] - v0[j] + D_use[j0],
+    #   and the bottleneck step collapses to D_next = min over unused of M.
+    #
+    # The dual potentials are reconstructed once per row after the loop:
+    # amt[j] = D_final - D_use[j] for used j, v -= amt, u[p] += amt -- the
+    # same values the per-iteration updates would have accumulated.
     def assign_row(carry, i):
         u, v, p = carry  # u:[N+1] row potentials, v:[N+1], p:[N+1] owners
         i = i.astype(jnp.int32)
 
         p = p.at[0].set(i)
-        minv = jnp.full((N + 1,), INF)
-        way = jnp.zeros((N + 1,), jnp.int32)
-        used = jnp.zeros((N + 1,), bool)
+        iota1 = jnp.arange(N + 1, dtype=jnp.int32)
 
         def path_cond(st):
-            _, _, _, _, _, j0, done = st
+            _, _, _, _, j0, _, done = st
             return ~done
 
         def path_body(st):
-            u, v, minv, way, used, j0, _ = st
-            used = used.at[j0].set(True)
+            m_abs, way, used, d_use, j0, d_now, _ = st
+            used = used | (iota1 == j0)
+            d_use = jnp.where(iota1 == j0, d_now, d_use)
             i0 = p[j0]
-            # relax all unused columns through row i0
-            cur = a[i0 - 1, :] - u[i0] - v[1:]
-            better = (~used[1:]) & (cur < minv[1:])
-            minv = minv.at[1:].set(jnp.where(better, cur, minv[1:]))
-            way = way.at[1:].set(jnp.where(better, j0, way[1:]))
-            # bottleneck column
-            masked = jnp.where(used[1:], INF, minv[1:])
+            # relax all unused columns through row i0 (absolute-M space)
+            cand = a[i0 - 1, :] - u[i0] - v[1:] + d_now
+            better = (~used[1:]) & (cand < m_abs)
+            m_abs = jnp.where(better, cand, m_abs)
+            way = jnp.where(better, j0, way)
+            # bottleneck column: D jumps straight to the unused minimum
+            masked = jnp.where(used[1:], INF, m_abs)
             j1 = jnp.argmin(masked).astype(jnp.int32) + 1
-            delta = masked[j1 - 1]
-            # dual update: u[p[j]] += delta, v[j] -= delta for used j
-            u = u.at[p].add(jnp.where(used, delta, 0.0))
-            v = v - jnp.where(used, delta, 0.0)
-            minv = minv.at[1:].set(
-                jnp.where(used[1:], minv[1:], minv[1:] - delta)
-            )
+            d_next = masked[j1 - 1]
             done = p[j1] == 0
-            return u, v, minv, way, used, j1, done
+            return m_abs, way, used, d_use, j1, d_next, done
 
-        u, v, minv, way, used, j0, _ = jax.lax.while_loop(
-            path_cond, path_body, (u, v, minv, way, used, jnp.int32(0), False)
+        m_abs, way1, used, d_use, j0, d_final, _ = jax.lax.while_loop(
+            path_cond, path_body,
+            (
+                jnp.full((N,), INF),  # M over real columns 1..N
+                jnp.zeros((N,), jnp.int32),
+                jnp.zeros((N + 1,), bool),
+                jnp.zeros((N + 1,), jnp.float32),
+                jnp.int32(0),
+                jnp.float32(0.0),
+                jnp.bool_(False),
+            ),
         )
+        # dual reconstruction (once per row, not per iteration)
+        amt = jnp.where(used, d_final - d_use, 0.0)
+        u = u.at[p].add(amt)
+        v = v - amt
+        way = jnp.concatenate([jnp.zeros((1,), jnp.int32), way1])
 
         # unwind the augmenting path
         def unwind_cond(st):
