@@ -16,14 +16,58 @@ Rectangular instances are squared up with a finite dummy cost above the real
 range: any matching on real pairs dominates a dummy pair, so the square
 optimum restricted to real columns is exactly the rectangular Munkres result
 (per-pair swap argument); dummy assignments are reported as "no match".
+
+Small-instance fast path: every sequential JV path iteration is a
+dispatch-bound ~5 us on TPU (~0.9 ms/frame aggregated in the round-2 device
+trace even at realized cluster counts of 2-5), so when all valid rows AND
+columns lie in the leading 8x8 block the solve is done by exhaustive
+enumeration instead: one constant one-hot ``[8!, 64]`` matrix turns "cost of
+every permutation" into a single MXU matmul ``P8 @ a8.ravel()`` followed by
+an argmin -- exact by definition, ~0.02 ms, no sequential loop.  The JV
+loop remains the fallback for larger instances.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INF = jnp.float32(1.0e12)
+
+#: brute-force bucket width (8! = 40320 permutations; 9! would be 2.9 MB of
+#: index table and a 23 MB one-hot -- past the sweet spot).
+_BRUTE_N = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_tables():
+    """(perms [8!, 8] i32, onehot [8!, 64] f32) -- built once per process."""
+    import itertools
+
+    perms = np.array(
+        list(itertools.permutations(range(_BRUTE_N))), dtype=np.int32
+    )
+    n = perms.shape[0]
+    onehot = np.zeros((n, _BRUTE_N * _BRUTE_N), np.float32)
+    rows = np.repeat(np.arange(n), _BRUTE_N)
+    cols = (np.arange(_BRUTE_N)[None, :] * _BRUTE_N + perms).ravel()
+    onehot[rows, cols] = 1.0
+    return perms, onehot
+
+
+def _brute_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Exact assignment of the leading ``[_BRUTE_N, _BRUTE_N]`` block of the
+    squared-up cost ``a`` by permutation enumeration.  Returns
+    ``col_of_row[_BRUTE_N]`` (0-based, always assigned -- dummy pairs are
+    stripped by the caller exactly as for the JV path)."""
+    perms, onehot = _perm_tables()
+    flat = a[:_BRUTE_N, :_BRUTE_N].reshape(-1)  # [64]
+    totals = jnp.asarray(onehot) @ flat  # [8!] one MXU pass
+    best = jnp.argmin(totals)
+    return jnp.asarray(perms)[best]
 
 
 @jax.jit
@@ -38,7 +82,7 @@ def solve_assignment(
     rectangular Munkres solve.
     """
     R, C = cost.shape
-    N = max(R, C)
+    N = max(R, C, _BRUTE_N)
     pair_ok = row_valid[:, None] & col_valid[None, :]
     spread = jnp.maximum(jnp.max(jnp.where(pair_ok, cost, 0.0)), 1.0)
     dummy = spread * 2.0 + 1.0
@@ -153,18 +197,31 @@ def solve_assignment(
         carry, _ = assign_row(carry, i)
         return i + 1, carry
 
-    _, (_, _, p) = jax.lax.while_loop(
-        rows_cond, rows_body, (jnp.int32(1), (u0, v0, p0))
-    )
+    def _jv_res():
+        _, (_, _, p) = jax.lax.while_loop(
+            rows_cond, rows_body, (jnp.int32(1), (u0, v0, p0))
+        )
+        # p[j] = row (1-based) matched to col j (1-based) -> col_of_row
+        col_of_row = (
+            jnp.full((N + 1,), -1, jnp.int32)
+            .at[p[1:]]
+            .set(jnp.arange(1, N + 1, dtype=jnp.int32))
+        )
+        r = col_of_row[1 : R + 1] - 1  # back to 0-based columns
+        return jnp.where((r >= 0) & (r < C), r, -1)
 
-    # p[j] = row (1-based) matched to col j (1-based) -> col_of_row
-    col_of_row = (
-        jnp.full((N + 1,), -1, jnp.int32)
-        .at[p[1:]]
-        .set(jnp.arange(1, N + 1, dtype=jnp.int32))
+    def _brute_res():
+        cols8 = _brute_small(a)
+        r = jnp.full((N,), -1, jnp.int32).at[:_BRUTE_N].set(cols8)[:R]
+        return jnp.where(r < C, r, -1)
+
+    # All valid rows AND columns inside the leading 8x8 block -> the dense
+    # enumeration is exact for the whole instance (everything outside the
+    # block is dummy-cost padding, stripped below like any dummy pair).
+    small = ~(
+        jnp.any(row_valid[_BRUTE_N:]) | jnp.any(col_valid[_BRUTE_N:])
     )
-    res = col_of_row[1 : R + 1] - 1  # back to 0-based columns
-    res = jnp.where((res >= 0) & (res < C), res, -1)
+    res = jax.lax.cond(small, _brute_res, _jv_res)
     # strip dummy-cost pairs (invalid pairs / padding)
     is_real = (
         row_valid
