@@ -56,9 +56,13 @@ def pool_take(plane: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     relayout the tiled T(8,128) plane to a 1D gather layout per call site
     (measured 3-4x slower per gather; docs/PERF.md round-2 log).  Out-of-
     range ``flat`` (the ``S*V`` sentinel) clamps, matching flat-gather
-    semantics."""
+    semantics.
+
+    1-D planes (the mid-frame FLAT pool representation, see
+    ``state.flatten_pool``) gather directly -- the plane already lives in
+    the layout the gather wants, so there is nothing to relayout."""
     if plane.ndim == 1:
-        return plane[flat]
+        return plane[jnp.minimum(flat, plane.shape[0] - 1)]
     V = plane.shape[-1]
     return plane[flat // V, flat % V]
 
@@ -89,6 +93,33 @@ def pool_take_stacked(planes, flat: jnp.ndarray):
     pair gathers: the F-plane stack copy scales with the POOL (e.g. 1 GB
     at large_urban), dwarfing the per-row gather saving.
     """
+    if planes[0].ndim == 1:
+        # FLAT pool planes: one [F, S*V] stack + (F, 1) window gather.
+        n = planes[0].shape[0]
+        f32 = [
+            p if p.dtype == jnp.float32 else p.astype(jnp.float32)
+            for p in planes
+        ]
+        st = jnp.stack(f32)  # [F, S*V]
+        safe = jnp.clip(flat, 0, n - 1)
+        out = jax.lax.gather(
+            st,
+            safe[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=(1,),
+                start_index_map=(1,),
+            ),
+            slice_sizes=(len(planes), 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # [N, F]
+        cols = []
+        for i, p in enumerate(planes):
+            c = out[:, i]
+            if p.dtype != jnp.float32:
+                c = c.astype(p.dtype)
+            cols.append(c)
+        return cols
     V = planes[0].shape[-1]
     S = planes[0].shape[0]
     if planes[0].ndim == 2 and S * V * 4 * len(planes) >= (256 << 20):
@@ -134,7 +165,13 @@ def pool_put(plane: jnp.ndarray, flat: jnp.ndarray, vals) -> jnp.ndarray:
     (row, col) pair; drops out-of-range rows (the ``S*V`` drop sentinel).
     Avoids the ravel-scatter-reshape relayout pair (measured 2x;
     docs/PERF.md).  Huge planes route through the DMA relayout kernels
-    (see ``_DMA_RELAYOUT_BYTES``)."""
+    (see ``_DMA_RELAYOUT_BYTES``).
+
+    1-D planes (mid-frame FLAT pool, ``state.flatten_pool``) scatter
+    natively -- no relayout exists on either side, which is the point of
+    the flat mid-frame representation."""
+    if plane.ndim == 1:
+        return plane.at[flat].set(vals, mode="drop", unique_indices=True)
     S, V = plane.shape[0], plane.shape[-1]
     if (plane.ndim == 2 and S * V * plane.dtype.itemsize >= _DMA_RELAYOUT_BYTES
             and V % 1024 == 0 and jax.default_backend() != "cpu"):

@@ -41,27 +41,33 @@ from .common import (I32_MAX, compact_mask, group_ranks, pool_put,
                      sort_by_destination)
 
 
-def empty_slot_lookup(flags, cell, ranks):
+def empty_slot_lookup(flags, cell, ranks, slots: int | None = None):
     """Per candidate, the id of the ``ranks``-th empty slot of voxel ``cell``.
 
-    ``flags [S, V]``; ``cell``/``ranks`` ``[M]`` (cell must be in range).
+    ``flags [S, V]`` (or flat ``[S*V]`` with ``slots=S``; the word pack then
+    reads S contiguous slices -- no relayout, see ``state.flatten_pool``);
+    ``cell``/``ranks`` ``[M]`` (cell must be in range).
     Returns ``(slot [M], n_empty [M])`` with ``slot = S`` when
     ``ranks >= n_empty``.  One pool pass packs the occupancy bitmask; the
     rank selection is an S-step select sweep over the gathered words.
     """
-    S, V = flags.shape
-    occupied = flags != 0
+    if flags.ndim == 1:
+        S = slots
+        V = flags.shape[0] // S
+        occ_row = lambda s: flags[s * V:(s + 1) * V] != 0
+    else:
+        S, V = flags.shape
+        occ_row = lambda s: flags[s] != 0
     words = []
     for w in range((S + 31) // 32):
         lo, hi = w * 32, min((w + 1) * 32, S)
-        weights = (jnp.uint32(1) << jnp.arange(hi - lo, dtype=jnp.uint32))
-        words.append(
-            jnp.sum(
-                jnp.where(occupied[lo:hi], weights[:, None], jnp.uint32(0)),
-                axis=0,
-                dtype=jnp.uint32,
+        acc = jnp.zeros((V,), jnp.uint32)
+        for s in range(lo, hi):
+            acc = acc + jnp.where(
+                occ_row(s), jnp.uint32(1) << jnp.uint32(s - lo),
+                jnp.uint32(0),
             )
-        )
+        words.append(acc)
     cand_words = [w[cell] for w in words]  # [M] gathers
 
     prefix = jnp.zeros_like(ranks)

@@ -84,6 +84,37 @@ class Particles:
         return jnp.stack([self.vx, self.vy, self.vz], axis=-1)
 
 
+def flatten_pool(p: Particles) -> Particles:
+    """Ravel every pool plane to its flat ``[S*V]`` form.
+
+    Mid-frame representation for the scatter-heavy stages (mover insertion
+    -> measurement writeback -> birth insertion): XLA linearizes every pool
+    scatter into a flat scatter regardless of the operand's logical shape,
+    paying a tiled<->flat relayout copy pair per plane per site (~0.05
+    ms/plane at the flagship's 12.5 MB planes, 1-2 ms at multi/large-map
+    scale; round-2 device traces in docs/PERF.md).  Keeping the planes flat
+    between the first scatter and the occupancy stage makes every scatter
+    AND every flat-index gather native, so each plane converts exactly
+    twice per frame (once in, once back out for the occupancy kernel's
+    tiled [S, V] blocks) instead of once per site."""
+    return dataclasses.replace(
+        p, **{f.name: getattr(p, f.name).reshape(-1)
+              for f in dataclasses.fields(p)}
+    )
+
+
+def unflatten_pool(p: Particles, slots: int) -> Particles:
+    """Restore ``[S, V]`` planes from the flat mid-frame form (no-op when
+    already 2-D)."""
+    if p.flags.ndim == 2:
+        return p
+    v = p.flags.shape[0] // slots
+    return dataclasses.replace(
+        p, **{f.name: getattr(p, f.name).reshape(slots, v)
+              for f in dataclasses.fields(p)}
+    )
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["prev_centers", "prev_point_num", "prev_intensity", "prev_valid"],
