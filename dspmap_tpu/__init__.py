@@ -36,6 +36,7 @@ from .state import (  # noqa: F401
     MapState,
     Particles,
     EstimatorState,
+    RuntimeParams,
     init_state,
     add_random_particles,
 )
@@ -48,6 +49,11 @@ from .models.pipeline import (  # noqa: F401
     get_occupancy_map,
     read_occupancy,
     clear_future_prediction,
+    set_prediction_variance,
+    set_observation_stddev,
+    set_newborn_particle_weight,
+    set_detection_probability,
+    set_clutter_intensity,
 )
 
 __version__ = "0.1.0"

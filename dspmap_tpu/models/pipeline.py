@@ -117,6 +117,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
             origin = geometry.window_origin(frame.sensor_pos, cfg)
             keys = jax.random.split(state.rng, 6)
             update_time = state.update_time + dt
+            rt = state.params  # live-settable scalars (RuntimeParams)
 
             # -- ingest (dsp_dynamic.h:234-293) -------------------------
             point_valid = (
@@ -126,7 +127,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 frame.points, point_valid, frame.sensor_pos, frame.quat, cfg
             )
             expected_newborn = (
-                cfg.newborn_particle_weight
+                rt.newborn_particle_weight
                 * obs.n_valid_points.astype(jnp.float32)
                 * cfg.newborn_particles_per_point
             )  # dsp_dynamic.h:292
@@ -169,12 +170,12 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 )
                 rebin_stats = {}
             else:
-                particles = propagate(state.particles, cfg, keys[1], dt)
+                particles = propagate(state.particles, cfg, keys[1], dt, rt=rt)
                 particles, rebin_stats = rebin(
                     particles, cfg, origin, update_time
                 )
                 particles, fovbin, fov_stats = register_fov(
-                    particles, cfg, frame.sensor_pos, frame.quat, keys[2]
+                    particles, cfg, frame.sensor_pos, frame.quat, keys[2], rt=rt
                 )
                 future_movers = None
 
@@ -182,6 +183,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
             particles, norm_coeff, upd_stats = measurement_update(
                 particles, fovbin, obs, cfg, expected_newborn, update_time,
                 axis_name=None if shard is None else shard.axis,
+                rt=rt,
             )
 
             # -- particle birth (dsp_dynamic.h:315,796-921) -------------
@@ -197,6 +199,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 origin=origin,
                 update_time=update_time,
                 shard=shard,
+                rt=rt,
             )
 
             # -- occupancy + future + resample (dsp_dynamic.h:322,924) --
@@ -296,8 +299,9 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
             origin = geometry.window_origin(frames.sensor_pos[0], cfg)
             keys = jax.random.split(state.rng, 4)
             update_time = state.update_time + dt
+            rt = state.params
 
-            particles = propagate(state.particles, cfg, keys[0], dt)
+            particles = propagate(state.particles, cfg, keys[0], dt, rt=rt)
             particles, _ = rebin(particles, cfg, origin, update_time)
 
             def sensor_stage(carry, inp):
@@ -312,7 +316,7 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
                     frame.points, point_valid, frame.sensor_pos, frame.quat, cfg
                 )
                 expected_newborn = (
-                    cfg.newborn_particle_weight
+                    rt.newborn_particle_weight
                     * obs.n_valid_points.astype(jnp.float32)
                     * cfg.newborn_particles_per_point
                 )
@@ -320,10 +324,11 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
                     obs.cloud_world, obs.cloud_valid, est_state, cfg, dt, k_est
                 )
                 particles, fovbin, _ = register_fov(
-                    particles, cfg, frame.sensor_pos, frame.quat, k_fov
+                    particles, cfg, frame.sensor_pos, frame.quat, k_fov, rt=rt
                 )
                 particles, norm_coeff, _ = measurement_update(
-                    particles, fovbin, obs, cfg, expected_newborn, update_time
+                    particles, fovbin, obs, cfg, expected_newborn, update_time,
+                    rt=rt,
                 )
                 particles, _ = particle_birth(
                     particles, cfg, k_birth,
@@ -331,6 +336,7 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
                     est_dynamic=est_out.dynamic, est_valid=est_out.valid,
                     norm_coeff=norm_coeff,
                     origin=origin, update_time=update_time,
+                    rt=rt,
                 )
                 return (particles, key), est_state
 
@@ -413,6 +419,51 @@ def clear_future_prediction(state: MapState) -> MapState:
     """``clearOccupancyMapPrediction`` (dsp_dynamic.h:429-438) for callers
     that skip the readout."""
     return dataclasses.replace(state, future=jnp.zeros_like(state.future))
+
+
+# --- live runtime setters (dsp_dynamic.h:355-382) --------------------------
+#
+# The reference exposes mutating setters on the map object; here the same
+# knobs ride :class:`~dspmap_tpu.state.RuntimeParams` inside ``MapState`` as
+# traced f32 scalars, so flipping one between frames re-uses the compiled
+# step (no re-jit -- asserted by tests/test_pipeline.py).  The reference
+# pays a 2x10M-draw RNG-pool regeneration on setPredictionVariance
+# (dsp_dynamic.h:1150-1160); keyed jax.random makes the new sigma effective
+# immediately.
+
+
+def _set_params(state: MapState, **kw) -> MapState:
+    params = dataclasses.replace(
+        state.params, **{k: jnp.float32(v) for k, v in kw.items()}
+    )
+    return dataclasses.replace(state, params=params)
+
+
+def set_prediction_variance(state: MapState, position_std, velocity_std) -> MapState:
+    """``setPredictionVariance`` (dsp_dynamic.h:355-360)."""
+    return _set_params(
+        state, position_noise_std=position_std, velocity_noise_std=velocity_std
+    )
+
+
+def set_observation_stddev(state: MapState, sigma_ob) -> MapState:
+    """``setObservationStdDev`` (dsp_dynamic.h:362-365)."""
+    return _set_params(state, sigma_ob=sigma_ob)
+
+
+def set_newborn_particle_weight(state: MapState, weight) -> MapState:
+    """``setNewBornParticleWeight`` (dsp_dynamic.h:367-370)."""
+    return _set_params(state, newborn_particle_weight=weight)
+
+
+def set_detection_probability(state: MapState, p_detection) -> MapState:
+    """The ctor's P_d knob (dsp_dynamic.h:157) as a live setter."""
+    return _set_params(state, p_detection=p_detection)
+
+
+def set_clutter_intensity(state: MapState, kappa) -> MapState:
+    """The ctor's kappa knob (dsp_dynamic.h:158) as a live setter."""
+    return _set_params(state, kappa=kappa)
 
 
 def init_multisensor_state(cfg: MapConfig, n_sensors: int, key, sensor_pos=(0.0, 0.0, 0.0)):

@@ -53,6 +53,7 @@ def particle_birth(
     origin: jnp.ndarray,
     update_time,
     shard=None,  # common.ShardCtx inside the shard_map fast path
+    rt=None,  # state.RuntimeParams: live-settable scalars (None -> cfg)
 ):
     """Returns ``(new_particles, stats)``.
 
@@ -64,11 +65,14 @@ def particle_birth(
     """
     P = est_points.shape[0]
     n_b = cfg.newborn_particles_per_point
+    w_b = cfg.newborn_particle_weight if rt is None else rt.newborn_particle_weight
+    sigma_p = cfg.position_noise_std if rt is None else rt.position_noise_std
+    sigma_v = cfg.velocity_noise_std if rt is None else rt.velocity_noise_std
 
     # Newborn weight from the C-normalizer sum (dsp_dynamic.h:798-805);
     # ``norm_coeff`` is computed by the measurement update over both
     # observation tiers.
-    w_new = cfg.newborn_particle_weight * norm_coeff
+    w_new = w_b * norm_coeff
 
     # --- per-point DS classification (dsp_dynamic.h:827-866) -----------
     wv = geometry.world_voxel(est_points, cfg)
@@ -123,7 +127,7 @@ def particle_birth(
     b = jnp.arange(n_b, dtype=jnp.int32)[None, :]  # [1, n_b]
     pos = (
         est_points[:, None, :]
-        + jax.random.normal(key_p, (P, n_b, 3), jnp.float32) * cfg.position_noise_std
+        + jax.random.normal(key_p, (P, n_b, 3), jnp.float32) * sigma_p
     )
 
     if cfg.motion_model == "static":
@@ -135,7 +139,7 @@ def particle_birth(
             est_dynamic[:, None, None],
             est_vel[:, None, :]
             + cfg.estimator_newborn_noise_gain
-            * cfg.velocity_noise_std
+            * sigma_v
             * jax.random.normal(key_v, (P, n_b, 3), jnp.float32),
             0.0,
         )

@@ -166,6 +166,7 @@ def register_fov(
     sensor_pos: jnp.ndarray,
     quat: jnp.ndarray,
     key: jax.Array,
+    rt=None,  # state.RuntimeParams: traced velocity-noise sigma (None -> cfg)
 ):
     """Returns ``(new_particles, FovBinning, stats)``.
 
@@ -199,9 +200,10 @@ def register_fov(
         vx, vy, vz = particles.vx, particles.vy, particles.vz
     else:
         alive_fov = fov_mask & (flags != 0)
+        sigma_v = cfg.velocity_noise_std if rt is None else rt.velocity_noise_std
         noise = (
             jax.random.normal(key, (2,) + particles.vx.shape, jnp.float32)
-            * cfg.velocity_noise_std
+            * sigma_v
         )
         keep_still = jnp.abs(particles.vx * particles.vy * particles.vz) < 1e-6
         jitter = alive_fov & ~keep_still

@@ -52,25 +52,27 @@ def _row_block(n_pyr: int, max_b: int = 32) -> int:
     return 1
 
 
-def _d2(px, py, pz, qx, qy, qz, inv_sigma):
-    ax = px[:, :, None] * inv_sigma - qx[:, None, :] * inv_sigma
-    ay = py[:, :, None] * inv_sigma - qy[:, None, :] * inv_sigma
-    az = pz[:, :, None] * inv_sigma - qz[:, None, :] * inv_sigma
+def _d2(px, py, pz, qx, qy, qz):
+    # operands arrive pre-scaled by 1/sigma (see _call) so sigma can be a
+    # traced scalar (live setters) without entering the kernel
+    ax = px[:, :, None] - qx[:, None, :]
+    ay = py[:, :, None] - qy[:, None, :]
+    az = pz[:, :, None] - qz[:, None, :]
     return ax * ax + ay * ay + az * az  # [B, S_t, CK]
 
 
 def _pass1_kernel(px_ref, py_ref, pz_ref, w_ref, qx_ref, qy_ref, qz_ref,
-                  out_ref, *, inv_sigma: float):
+                  out_ref):
     d2 = _d2(px_ref[...], py_ref[...], pz_ref[...],
-             qx_ref[...], qy_ref[...], qz_ref[...], inv_sigma)
+             qx_ref[...], qy_ref[...], qz_ref[...])
     g = _CONST3 * jnp.exp(-0.5 * d2)
     out_ref[...] = jnp.sum(w_ref[...][:, :, None] * g, axis=1)  # [B, CK]
 
 
 def _pass2_kernel(px_ref, py_ref, pz_ref, cinv_ref, qx_ref, qy_ref, qz_ref,
-                  out_ref, *, inv_sigma: float):
+                  out_ref):
     d2 = _d2(px_ref[...], py_ref[...], pz_ref[...],
-             qx_ref[...], qy_ref[...], qz_ref[...], inv_sigma)
+             qx_ref[...], qy_ref[...], qz_ref[...])
     g = _CONST3 * jnp.exp(-0.5 * d2)
     out_ref[...] = jnp.sum(g * cinv_ref[...][:, None, :], axis=2)  # [B, S_t]
 
@@ -78,11 +80,19 @@ def _pass2_kernel(px_ref, py_ref, pz_ref, cinv_ref, qx_ref, qy_ref, qz_ref,
 def _call(kernel, pos, row_vec, nbr_pts, sigma, out_cols, interpret):
     """Shared driver: ``pos [n_pyr, S_t, 3]``, ``row_vec`` the per-slot
     (pass 1 weights) or per-point (pass 2 cinv) factor, ``nbr_pts
-    [n_pyr, CK, 3]``; returns ``[n_pyr, out_cols]``."""
+    [n_pyr, CK, 3]``; returns ``[n_pyr, out_cols]``.
+
+    ``sigma`` may be a traced scalar: both coordinate sides are pre-scaled
+    by ``1/sigma`` outside the kernel (XLA fuses the multiply into the
+    producers), which computes the identical ``px/sigma - qx/sigma``
+    difference the kernel previously formed in-VMEM."""
     n_pyr, s_t, _ = pos.shape
     ck = nbr_pts.shape[1]
     B = _row_block(n_pyr)
     grid = (n_pyr // B,)
+    inv_sigma = 1.0 / sigma
+    pos = pos * inv_sigma
+    nbr_pts = nbr_pts * inv_sigma
 
     def spec(cols):
         return pl.BlockSpec((B, cols), lambda b: (b, 0),
@@ -94,7 +104,7 @@ def _call(kernel, pos, row_vec, nbr_pts, sigma, out_cols, interpret):
     )
     in_cols = (s_t, s_t, s_t, row_vec.shape[1], ck, ck, ck)
     return pl.pallas_call(
-        functools.partial(kernel, inv_sigma=1.0 / sigma),
+        kernel,
         grid=grid,
         in_specs=[spec(c) for c in in_cols],
         out_specs=spec(out_cols),
@@ -103,17 +113,17 @@ def _call(kernel, pos, row_vec, nbr_pts, sigma, out_cols, interpret):
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
-def update_pass1(pos, w, nbr_pts, sigma: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def update_pass1(pos, w, nbr_pts, sigma, interpret: bool = False):
     """``C_partial[n_pyr, CK] = sum_s w[n_pyr, s] g(pos[n_pyr, s],
     nbr_pts[n_pyr, m])`` -- the dense x dense block of ops/update.py pass 1."""
-    return _call(_pass1_kernel, pos, w, nbr_pts, float(sigma),
+    return _call(_pass1_kernel, pos, w, nbr_pts, sigma,
                  nbr_pts.shape[1], interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
-def update_pass2(pos, cinv, nbr_pts, sigma: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def update_pass2(pos, cinv, nbr_pts, sigma, interpret: bool = False):
     """``sum_dense[n_pyr, S_t] = sum_m g(pos, nbr_pts) * cinv[n_pyr, m]`` --
     the dense x dense block of ops/update.py pass 2."""
-    return _call(_pass2_kernel, pos, cinv, nbr_pts, float(sigma),
+    return _call(_pass2_kernel, pos, cinv, nbr_pts, sigma,
                  pos.shape[1], interpret)

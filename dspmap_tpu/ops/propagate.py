@@ -30,8 +30,12 @@ import jax.numpy as jnp
 from ..config import MapConfig
 
 
-def propagate(particles, cfg: MapConfig, key: jax.Array, dt: jnp.ndarray):
-    """Advance every valid particle one frame.  Returns the new pool."""
+def propagate(particles, cfg: MapConfig, key: jax.Array, dt: jnp.ndarray,
+              rt=None):
+    """Advance every valid particle one frame.  Returns the new pool.
+
+    ``rt`` (state.RuntimeParams) supplies the velocity-noise sigma as a
+    traced scalar (setPredictionVariance, dsp_dynamic.h:355-360)."""
     valid = particles.valid
 
     if cfg.motion_model == "static":
@@ -40,9 +44,10 @@ def propagate(particles, cfg: MapConfig, key: jax.Array, dt: jnp.ndarray):
 
     vx, vy, vz = particles.vx, particles.vy, particles.vz
     if not cfg.limit_motion_to_xy_plane:
+        sigma_v = cfg.velocity_noise_std if rt is None else rt.velocity_noise_std
         noise = (
             jax.random.normal(key, (3,) + vx.shape, jnp.float32)
-            * cfg.velocity_noise_std
+            * sigma_v
         )
         keep_still = jnp.abs(vx * vy * vz) < 1e-6  # dsp_dynamic.h:653
         jitter = valid & ~keep_still

@@ -151,8 +151,14 @@ def measurement_update(
     expected_newborn: jnp.ndarray,
     update_time: jnp.ndarray,
     axis_name: str | None = None,
+    rt=None,
 ):
     """Returns ``(new_particles, norm_coeff, stats)``.
+
+    ``rt`` (a :class:`~dspmap_tpu.state.RuntimeParams`) supplies sigma_ob /
+    P_d / kappa as traced scalars so the reference's live setters
+    (``dsp_dynamic.h:355-382``) work without a re-jit; ``None`` falls back
+    to the static config values.
 
     ``norm_coeff = sum_z 1/C(z)`` over every binned measurement (both
     tiers) -- the particle-birth normalizer (``dsp_dynamic.h:798-805``; the
@@ -172,7 +178,10 @@ def measurement_update(
     ck = C * Ko
     chunk = _chunk(n_pyr, S_t, ck)
     n_chunks = n_pyr // chunk
-    e_birth = expected_newborn + cfg.kappa
+    sigma_ob = cfg.sigma_ob if rt is None else rt.sigma_ob
+    p_d = cfg.p_detection if rt is None else rt.p_detection
+    kappa = cfg.kappa if rt is None else rt.kappa
+    e_birth = expected_newborn + kappa
 
     nbr_pts = gather_neighbors(obs.points, cfg, 0.0)  # [n_pyr, CK, 3]
     nbr_mask = gather_neighbors(obs.mask, cfg, False)  # [n_pyr, CK]
@@ -189,7 +198,7 @@ def measurement_update(
     # B2: spill particles x dense-obs neighborhoods  [Psp, CK]
     if have_psp:
         g_pz = _pair_g(
-            fovbin.sp_pos[:, None, :], nbr_pts[sp_pyr_safe], cfg.sigma_ob
+            fovbin.sp_pos[:, None, :], nbr_pts[sp_pyr_safe], sigma_ob
         )[:, 0, :]  # [Psp, CK]
     # B3: spilled obs cells x their neighborhoods' dense particles
     if have_osp:
@@ -198,7 +207,7 @@ def measurement_update(
         d_pos = fovbin.pos[y_nbr]  # [Yc, C, S_t, 3] (row gathers)
         d_w = pw[y_nbr] * y_ok[:, :, None]  # [Yc, C, S_t]
         g_dy = _pair_g(
-            d_pos.reshape(Yc, C * S_t, 3), obs.spill_pts, cfg.sigma_ob
+            d_pos.reshape(Yc, C * S_t, 3), obs.spill_pts, sigma_ob
         )  # [Yc, C*S_t, Ks]
     # B4: spill particles x spill-cell points, adjacency-masked  [Psp, Yc*Ks]
     if have_psp and have_osp:
@@ -214,7 +223,7 @@ def measurement_update(
         )  # [Psp, Yc]
         g_py = _pair_g(
             fovbin.sp_pos[None], obs.spill_pts.reshape(1, Yc * Ks, 3),
-            cfg.sigma_ob,
+            sigma_ob,
         )[0] * jnp.repeat(adj, Ks, axis=1)  # [Psp, Yc*Ks]
 
     use_pallas = (
@@ -226,11 +235,11 @@ def measurement_update(
     if use_pallas:
         from .pallas.update import update_pass1
 
-        c_part = update_pass1(fovbin.pos, pw, nbr_pts, cfg.sigma_ob)
+        c_part = update_pass1(fovbin.pos, pw, nbr_pts, sigma_ob)
     else:
         def pass1(args):
             ppos, w, pts = args
-            g = _pair_g(ppos, pts, cfg.sigma_ob)  # [B, S, CK]
+            g = _pair_g(ppos, pts, sigma_ob)  # [B, S, CK]
             return jnp.einsum("bsm,bs->bm", g, w,
                               preferred_element_type=jnp.float32)
 
@@ -256,7 +265,7 @@ def measurement_update(
     if axis_name is not None:
         c_part = jax.lax.psum(c_part, axis_name)
 
-    c_grid = scatter_neighbor_sum(c_part, cfg) * cfg.p_detection + e_birth
+    c_grid = scatter_neighbor_sum(c_part, cfg) * p_d + e_birth
     c_grid = jnp.where(obs.mask, c_grid, 1.0)  # masked cells: inert positive
 
     if have_osp:
@@ -266,7 +275,7 @@ def measurement_update(
         if axis_name is not None:
             c_sp = jax.lax.psum(c_sp, axis_name)
         c_spill = jnp.where(
-            obs.spill_pts_mask, c_sp * cfg.p_detection + e_birth, 1.0
+            obs.spill_pts_mask, c_sp * p_d + e_birth, 1.0
         )  # [Yc, Ks]
 
     # Birth normalizer: sum of reciprocals over every binned measurement.
@@ -282,11 +291,11 @@ def measurement_update(
     if use_pallas:
         from .pallas.update import update_pass2
 
-        sum_dense = update_pass2(fovbin.pos, nbr_cinv, nbr_pts, cfg.sigma_ob)
+        sum_dense = update_pass2(fovbin.pos, nbr_cinv, nbr_pts, sigma_ob)
     else:
         def pass2(args):
             ppos, pts, cinv = args
-            g = _pair_g(ppos, pts, cfg.sigma_ob)
+            g = _pair_g(ppos, pts, sigma_ob)
             return jnp.einsum("bsm,bm->bs", g, cinv,
                               preferred_element_type=jnp.float32)
 
@@ -313,13 +322,13 @@ def measurement_update(
         ) & (y_ok & obs.spill_cell_mask[:, None]).reshape(-1)[None, :]
         sum_dense = sum_dense + onehot_y.astype(jnp.float32) @ contrib
 
-    factor = (1.0 - cfg.p_detection) + cfg.p_detection * sum_dense
+    factor = (1.0 - p_d) + p_d * sum_dense
 
     if have_psp:
         sum_sp = jnp.einsum("pm,pm->p", g_pz, nbr_cinv[sp_pyr_safe])
         if have_osp:
             sum_sp = sum_sp + g_py @ y_cinv.ravel()
-        factor_sp = (1.0 - cfg.p_detection) + cfg.p_detection * sum_sp
+        factor_sp = (1.0 - p_d) + p_d * sum_sp
 
     # Occlusion: skipped iff the particle's own pyramid has points AND the
     # particle sits beyond their max range + slack (dsp_dynamic.h:759-765).

@@ -117,6 +117,55 @@ def unflatten_pool(p: Particles, slots: int) -> Particles:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=[
+        "sigma_ob",
+        "position_noise_std",
+        "velocity_noise_std",
+        "p_detection",
+        "kappa",
+        "newborn_particle_weight",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class RuntimeParams:
+    """The reference's live setter surface (``dsp_dynamic.h:355-382``) as
+    traced scalars riding in :class:`MapState`.
+
+    These knobs are shape-free (they scale math, never sizes), so carrying
+    them as f32 scalars lets callers flip them between frames through the
+    pure setters in :mod:`dspmap_tpu.models.pipeline`
+    (``set_prediction_variance`` / ``set_observation_stddev`` / ...) without
+    re-jitting -- the reference regenerates its 2x10M-draw RNG pools on
+    ``setPredictionVariance`` (``dsp_dynamic.h:1150-1160``); keyed
+    ``jax.random`` makes the new sigma effective immediately at zero cost.
+    Shape-affecting knobs (map dims, capacities, newborn count) remain
+    static on :class:`~dspmap_tpu.config.MapConfig`.
+    """
+
+    sigma_ob: jnp.ndarray  # f32 scalar (setObservationStdDev, :362-365)
+    position_noise_std: jnp.ndarray  # f32 scalar (setPredictionVariance, :355-360)
+    velocity_noise_std: jnp.ndarray  # f32 scalar
+    p_detection: jnp.ndarray  # f32 scalar (ctor param, :157)
+    kappa: jnp.ndarray  # f32 scalar (ctor param, :158)
+    newborn_particle_weight: jnp.ndarray  # f32 scalar (setNewBornParticleWeight, :367-370)
+
+    @staticmethod
+    def from_config(cfg: MapConfig) -> "RuntimeParams":
+        import numpy as np
+
+        return RuntimeParams(
+            sigma_ob=np.float32(cfg.sigma_ob),
+            position_noise_std=np.float32(cfg.position_noise_std),
+            velocity_noise_std=np.float32(cfg.velocity_noise_std),
+            p_detection=np.float32(cfg.p_detection),
+            kappa=np.float32(cfg.kappa),
+            newborn_particle_weight=np.float32(cfg.newborn_particle_weight),
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["prev_centers", "prev_point_num", "prev_intensity", "prev_valid"],
     meta_fields=[],
 )
@@ -148,6 +197,7 @@ class EstimatorState:
         "update_counter",
         "initialized",
         "estimator",
+        "params",
     ],
     meta_fields=[],
 )
@@ -172,6 +222,8 @@ class MapState:
     update_counter: jnp.ndarray  # i32 scalar
     initialized: jnp.ndarray  # bool scalar (first-frame delta handling)
     estimator: EstimatorState
+    #: live-settable filter scalars (see :class:`RuntimeParams`)
+    params: RuntimeParams
 
 
 def init_estimator_state(cfg: MapConfig) -> EstimatorState:
@@ -230,6 +282,7 @@ def init_state(
         update_counter=np.int32(0),
         initialized=np.asarray(False),
         estimator=init_estimator_state(cfg),
+        params=RuntimeParams.from_config(cfg),
     )
     state = jax.device_put(state)
     if init_particle_num > 0:

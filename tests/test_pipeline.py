@@ -145,3 +145,42 @@ def test_future_prediction_tracks_motion():
     future = np.asarray(future)
     assert future.shape == (cfg.voxel_num, cfg.n_horizons)
     assert future.sum() > 0.0
+
+
+def test_runtime_setters_no_recompile():
+    """The reference's live setters (dsp_dynamic.h:355-382) must work
+    between frames without re-jitting: RuntimeParams scalars are traced, so
+    flipping sigma_ob / P_d / newborn weight reuses the compiled step."""
+    from dspmap_tpu import (
+        set_observation_stddev,
+        set_prediction_variance,
+        set_newborn_particle_weight,
+    )
+
+    cfg = example_node_settings(dsp_dynamic(**small_cfg()))
+    state = init_state(cfg, jax.random.key(0))
+    step = jax.jit(make_step(cfg))
+    frames = [
+        Frame(jnp.asarray(pts), jnp.int32(n), jnp.asarray(pos),
+              jnp.asarray(quat), jnp.asarray(t))
+        for pts, n, pos, quat, t in sim.generate_sequence(4, cfg, seed=3)
+    ]
+    state, _ = step(state, frames[0])
+    state, _ = step(state, frames[1])
+    n_compiles = step._cache_size()
+
+    # flip every live knob; the compiled step must be reused
+    state_hi = set_observation_stddev(state, 1.0)
+    state_hi = set_prediction_variance(state_hi, 0.3, 0.3)
+    state_hi = set_newborn_particle_weight(state_hi, 0.01)
+    out_hi_state, out_hi = step(state_hi, frames[2])
+    assert step._cache_size() == n_compiles, "setter caused a re-jit"
+
+    # and the knobs must actually change behavior: a 10x sigma_ob spreads
+    # the observation kernel -> different weight field than the untouched
+    # state stepped over the same frame
+    out_lo_state, out_lo = step(state, frames[2])
+    assert bool(out_hi.accepted) and bool(out_lo.accepted)
+    w_hi = np.asarray(out_hi_state.weight_sum)
+    w_lo = np.asarray(out_lo_state.weight_sum)
+    assert not np.allclose(w_hi, w_lo)
