@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from ..state import MapState
+from ..state import MapState, flatten_pool
 from ..estimator import estimate_velocities
 from ..ops.propagate import propagate
 from ..ops.rebin import rebin
@@ -161,6 +161,15 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 )
                 particles = dataclasses.replace(
                     particles, px=sw.px, py=sw.py, pz=sw.pz, flags=sw.flags
+                )
+                # -- flat mid-frame phase (state.flatten_pool): every
+                # scatter/gather site from here through birth runs on flat
+                # [S*V] planes (native layout for XLA's linearized pool
+                # scatters -- no tiled<->flat relayout copy pair per plane
+                # per site); occupancy_and_resample converts back once.
+                particles = flatten_pool(particles)
+                sw = sw._replace(
+                    tags=sw.tags.reshape(-1), new_cell=sw.new_cell.reshape(-1)
                 )
                 particles, fovbin, future_movers, fov_stats = (
                     rebin_and_register(

@@ -78,8 +78,10 @@ def particle_birth(
     wv = geometry.world_voxel(est_points, cfg)
     in_map = geometry.in_window(wv, origin, cfg)
     point_valid = est_valid & in_map
+    from .common import pool_sv
+
     cell_g = jnp.where(point_valid, geometry.storage_index(wv, cfg), 0)
-    V_local = particles.flags.shape[1]
+    S_pool, V_local = pool_sv(particles.flags, cfg)
     if shard is None:
         cell = cell_g
         owned = point_valid
@@ -93,16 +95,38 @@ def particle_birth(
     # dim-transposed {0,1} copy of all five pool planes to serve the [S, P]
     # column gathers (~1.5 ms/frame of physical transposes; docs/PERF.md
     # round-2 log).  The reduce reads the same planes sequentially instead.
-    considered = (particles.flags != 0) & (particles.flags != FLAG_NEWBORN)
-    l1 = (
-        jnp.abs(particles.vx)
-        + jnp.abs(particles.vy)
-        + jnp.abs(particles.vz)
-    )  # [S, V]
-    w_c = jnp.where(considered, particles.weight, 0.0)
-    w_static_v = jnp.sum(jnp.where(l1 < 0.1, w_c, 0.0), axis=0)  # [V]
-    w_mid_v = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_c, 0.0), axis=0)
-    w_dyn_v = jnp.sum(jnp.where(l1 >= 0.5, w_c, 0.0), axis=0)
+    # Flat mid-frame pools (state.flatten_pool) sum S contiguous [V] slices
+    # instead of reshaping back to [S, V] (which would pay a relayout copy
+    # per plane -- the cost the flat phase exists to avoid).
+    if particles.flags.ndim == 1:
+        w_static_v = jnp.zeros((V_local,), jnp.float32)
+        w_mid_v = jnp.zeros((V_local,), jnp.float32)
+        w_dyn_v = jnp.zeros((V_local,), jnp.float32)
+        for s in range(S_pool):
+            sl = slice(s * V_local, (s + 1) * V_local)
+            fl = particles.flags[sl]
+            l1 = (
+                jnp.abs(particles.vx[sl])
+                + jnp.abs(particles.vy[sl])
+                + jnp.abs(particles.vz[sl])
+            )
+            w_c = jnp.where(
+                (fl != 0) & (fl != FLAG_NEWBORN), particles.weight[sl], 0.0
+            )
+            w_static_v = w_static_v + jnp.where(l1 < 0.1, w_c, 0.0)
+            w_mid_v = w_mid_v + jnp.where((l1 >= 0.1) & (l1 < 0.5), w_c, 0.0)
+            w_dyn_v = w_dyn_v + jnp.where(l1 >= 0.5, w_c, 0.0)
+    else:
+        considered = (particles.flags != 0) & (particles.flags != FLAG_NEWBORN)
+        l1 = (
+            jnp.abs(particles.vx)
+            + jnp.abs(particles.vy)
+            + jnp.abs(particles.vz)
+        )  # [S, V]
+        w_c = jnp.where(considered, particles.weight, 0.0)
+        w_static_v = jnp.sum(jnp.where(l1 < 0.1, w_c, 0.0), axis=0)  # [V]
+        w_mid_v = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_c, 0.0), axis=0)
+        w_dyn_v = jnp.sum(jnp.where(l1 >= 0.5, w_c, 0.0), axis=0)
     w_static = jnp.where(owned, w_static_v[cell], 0.0)  # [P]
     w_mid = jnp.where(owned, w_mid_v[cell], 0.0)
     w_dyn = jnp.where(owned, w_dyn_v[cell], 0.0)

@@ -25,6 +25,17 @@ import numpy as np
 I32_MAX = jnp.int32(2**31 - 1)
 
 
+def pool_sv(plane: jnp.ndarray, cfg) -> tuple[int, int]:
+    """``(S, V)`` of a pool plane in either the 2-D ``[S, V]`` or the flat
+    ``[S*V]`` mid-frame form (``state.flatten_pool``).  ``V`` is derived
+    from the plane size so sharded slabs (``V_local < storage_voxels``)
+    resolve correctly."""
+    if plane.ndim == 2:
+        return plane.shape
+    s = cfg.slots_per_voxel
+    return s, plane.shape[0] // s
+
+
 class ShardCtx(NamedTuple):
     """Map-axis SPMD context for the hand-scheduled ``shard_map`` fast path
     (SURVEY.md section 2.6/7.1.7; the reference has no distributed machinery).

@@ -36,8 +36,8 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import (compact_and_group, compact_mask, pool_put, pool_take,
-                     pool_take_stacked,
+from .common import (compact_and_group, compact_mask, pool_put, pool_sv,
+                     pool_take, pool_take_stacked,
                      group_ranks, sort_by_destination)
 
 
@@ -65,7 +65,7 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
 
     ``cols`` optionally supplies pre-gathered ``(px, py, pz, weight)``
     candidate columns (callers that already paid the pool gathers)."""
-    S, V = particles.flags.shape
+    S, V = pool_sv(particles.flags, cfg)
     n_pyr, s_pyr, S_t = cfg.n_pyramids, cfg.pyramid_slots, cfg.dense_slots
     f_cap, p_cap = cfg.fov_buffer_capacity, cfg.particle_spill_capacity
     grid_cap = n_pyr * S_t
@@ -257,7 +257,7 @@ def rebin_and_register(
     """
     from .insert import allocate_slots, scatter_candidates
 
-    S, V = particles.flags.shape
+    S, V = pool_sv(particles.flags, cfg)
     n_pyr = cfg.n_pyramids
     cap = cfg.fov_buffer_capacity
     m_cap = cfg.mover_capacity
@@ -305,7 +305,7 @@ def rebin_and_register(
         safe_src = jnp.minimum(jnp.where(mov_ok, flat0[mov_i], S * V),
                                S * V - 1)
         new_flat, keep_ins = allocate_slots(
-            vacated, mov_cell, mov_ranks, mov_ok
+            vacated, mov_cell, mov_ranks, mov_ok, cfg=cfg
         )
         cols_m = (
             px[mov_i], py[mov_i], pz[mov_i],
@@ -343,7 +343,7 @@ def rebin_and_register(
                                                          unique_indices=True)
         )
         new_flat, keep_ins = allocate_slots(
-            vacated, mov_cell, mov_ranks, own_ok
+            vacated, mov_cell, mov_ranks, own_ok, cfg=cfg
         )
         cols_m = (a_px[own_i], a_py[own_i], a_pz[own_i],
                   a_vx[own_i], a_vy[own_i], a_vz[own_i], a_w[own_i])
@@ -352,6 +352,7 @@ def rebin_and_register(
     new_particles = scatter_candidates(
         vacated, new_flat, cols_m, jnp.int32(1),
         update_time if cfg.record_particle_time else None,
+        cfg=cfg,
     )
     n_inserted = jnp.sum(new_particles.valid) - n_before
 

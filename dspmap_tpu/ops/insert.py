@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from .common import (I32_MAX, compact_mask, group_ranks, pool_put,
+from .common import (I32_MAX, compact_mask, group_ranks, pool_put, pool_sv,
                      sort_by_destination)
 
 
@@ -82,27 +82,30 @@ def empty_slot_lookup(flags, cell, ranks, slots: int | None = None):
     return slot, prefix  # prefix = per-voxel empty count after full sweep
 
 
-def allocate_slots(particles, cell, ranks, valid):
+def allocate_slots(particles, cell, ranks, valid, cfg=None):
     """Final flat pool position per candidate (``S*V`` sentinel when the
-    voxel is full or the candidate invalid).  Returns ``(flat, keep)``."""
-    S, V = particles.flags.shape
+    voxel is full or the candidate invalid).  Returns ``(flat, keep)``.
+    ``cfg`` is required when the pool is in its flat mid-frame form."""
+    S, V = pool_sv(particles.flags, cfg)
     in_bounds = valid & (cell < V)
     safe_cell = jnp.clip(cell, 0, V - 1)
-    slot, n_empty = empty_slot_lookup(particles.flags, safe_cell, ranks)
+    slot, n_empty = empty_slot_lookup(particles.flags, safe_cell, ranks,
+                                      slots=S)
     keep = in_bounds & (ranks < n_empty)
     flat = jnp.where(keep, slot * V + safe_cell, S * V)
     return flat, keep
 
 
 def scatter_candidates(
-    particles, flat, payload_cols, flag, t, compact_to: int | None = None
+    particles, flat, payload_cols, flag, t, compact_to: int | None = None,
+    cfg=None,
 ):
     """Write candidate payloads at their allocated flat positions.
 
     ``payload_cols`` is a tuple ``(px, py, pz, vx, vy, vz, weight)`` of [M]
     arrays in the caller's candidate order (never permuted here).
     """
-    S, V = particles.flags.shape
+    S, V = pool_sv(particles.flags, cfg)
     keep = flat < S * V
 
     def scatter_all(particles, s_flat, cols):
@@ -167,9 +170,10 @@ def insert_sorted(
     final flat pool position (``S*V`` sentinel when dropped) and ``keep``
     the insertion mask.
     """
-    flat, keep = allocate_slots(particles, cell, ranks, valid)
+    flat, keep = allocate_slots(particles, cell, ranks, valid, cfg=cfg)
     cols = tuple(payload[:, i] for i in range(7))
-    new = scatter_candidates(particles, flat, cols, flag, t, compact_to)
+    new = scatter_candidates(particles, flat, cols, flag, t, compact_to,
+                             cfg=cfg)
     return new, flat, keep
 
 
@@ -205,7 +209,7 @@ def insert_particles(
     (burst frames), a ``lax.cond`` falls back to the exact full-size path.
     """
     M = pos.shape[0]
-    S, V = particles.flags.shape
+    S, V = pool_sv(particles.flags, cfg)
     wv = geometry.world_voxel(pos, cfg)
     inside = geometry.in_window(wv, origin, cfg)
     dest = geometry.storage_index(wv, cfg) - cell_base
@@ -242,11 +246,12 @@ def insert_particles(
             # first min(S, count) of each run, so ranks recompute exactly
             # from the compacted keys -- one fewer budget-sized gather
             ranks_c = group_ranks(cell_c)
-            flat_c, _ = allocate_slots(particles, cell_c, ranks_c, c_valid)
+            flat_c, _ = allocate_slots(particles, cell_c, ranks_c, c_valid,
+                                       cfg=cfg)
             pay_c = payload[src]  # [compact_to, 7] contiguous rows
             cols_c = tuple(pay_c[:, i] for i in range(7))
             return scatter_candidates(
-                particles, flat_c, cols_c, flag, t, None
+                particles, flat_c, cols_c, flag, t, None, cfg=cfg
             )
 
         def big(particles):
@@ -256,9 +261,10 @@ def insert_particles(
                 )
             )
             flat, _ = allocate_slots(
-                particles, jnp.where(valid, dest, V), ranks, valid
+                particles, jnp.where(valid, dest, V), ranks, valid, cfg=cfg
             )
-            return scatter_candidates(particles, flat, cols, flag, t, None)
+            return scatter_candidates(particles, flat, cols, flag, t, None,
+                                      cfg=cfg)
 
         return jax.lax.cond(n_over == 0, small, big, particles)
 
@@ -267,6 +273,7 @@ def insert_particles(
                                                  unique_indices=True)
     )
     flat, keep = allocate_slots(
-        particles, jnp.where(valid, dest, V), ranks, valid
+        particles, jnp.where(valid, dest, V), ranks, valid, cfg=cfg
     )
-    return scatter_candidates(particles, flat, cols, flag, t, compact_to)
+    return scatter_candidates(particles, flat, cols, flag, t, compact_to,
+                              cfg=cfg)

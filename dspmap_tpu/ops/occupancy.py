@@ -146,6 +146,12 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     anywhere), so the compacted mover columns are ``all_gather``-exchanged
     and each shard scatters the contributions whose predicted cell it owns.
     """
+    if particles.flags.ndim == 1:
+        # end of the flat mid-frame phase (state.flatten_pool): the pool
+        # pass and its Pallas kernel block over [S, V] tiles
+        from ..state import unflatten_pool
+
+        particles = unflatten_pool(particles, cfg.slots_per_voxel)
     S, V = particles.flags.shape
     T = cfg.n_horizons
 

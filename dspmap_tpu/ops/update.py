@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
-from .common import pool_put
+from .common import pool_put, pool_sv
 from .fov import FovBinning
 from .project import Observation
 
@@ -171,7 +171,7 @@ def measurement_update(
     collective SURVEY.md section 7.1.7 names; pass 2 and the weight
     writeback stay shard-local.  ``norm_coeff`` then comes out replicated.
     """
-    S, V = particles.flags.shape
+    S, V = pool_sv(particles.flags, cfg)
     n_pyr, Ko = cfg.n_pyramids, cfg.obs_dense
     S_t = cfg.dense_slots
     C = cfg.neighbor_cells
