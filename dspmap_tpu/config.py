@@ -307,6 +307,7 @@ class MapConfig:
             return max(self.birth_compact_capacity, 1 << 15)
         return self.birth_compact_capacity
 
+
     @property
     def fov_buffer_capacity(self) -> int:
         if self.fov_capacity is not None:

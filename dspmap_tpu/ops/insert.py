@@ -250,6 +250,11 @@ def insert_particles(
                                        cfg=cfg)
             pay_c = payload[src]  # [compact_to, 7] contiguous rows
             cols_c = tuple(pay_c[:, i] for i in range(7))
+            # (A second-level compaction on the post-allocation keep mask
+            # was measured a net REGRESSION here: realized born is 4-8k of
+            # the 16k eligible budget, so a quarter-width scatter budget
+            # overflowed every frame and the compaction+cond overhead was
+            # pure loss.  docs/PERF.md round-3 dead ends.)
             return scatter_candidates(
                 particles, flat_c, cols_c, flag, t, None, cfg=cfg
             )

@@ -146,9 +146,13 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     anywhere), so the compacted mover columns are ``all_gather``-exchanged
     and each shard scatters the contributions whose predicted cell it owns.
     """
-    if particles.flags.ndim == 1:
-        # end of the flat mid-frame phase (state.flatten_pool): the pool
-        # pass and its Pallas kernel block over [S, V] tiles
+    # End of the flat mid-frame phase (state.flatten_pool): the pool pass
+    # and its Pallas kernel block over [S, V] tiles.  The future-mover
+    # columns are gathered from the FLAT form first -- native 1-D gathers;
+    # after the unflatten each (row, col) pair gather pays a (1,128)-tiled
+    # copy of the plane it reads (round-3 device trace).
+    flat_form = particles if particles.flags.ndim == 1 else None
+    if flat_form is not None:
         from ..state import unflatten_pool
 
         particles = unflatten_pool(particles, cfg.slots_per_voxel)
@@ -184,11 +188,12 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     # Mover buffers are small (<= mover_capacity = 8k), so separate gathers
     # beat a stacked row gather here: the pool-sized interleave pass cannot
     # amortize below ~16k rows (see gather_columns).
+    src = flat_form if flat_form is not None else particles
     if future_movers is not None:
         fm_flat, fm_ok, fm_dropped = future_movers
         idx = jnp.minimum(fm_flat, S * V - 1)
-        fl = pool_take(particles.flags, idx)
-        wgt = pool_take(particles.weight, idx)
+        fl = pool_take(src.flags, idx)
+        wgt = pool_take(src.weight, idx)
         sel = (
             fm_ok
             & (fl != 0)
@@ -201,13 +206,13 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
         idx, sel, n_moving, n_overflow = compact_mask(
             moving, cfg.mover_capacity
         )
-        wgt = pool_take(particles.weight, idx)
-    m_px = pool_take(particles.px, idx)
-    m_py = pool_take(particles.py, idx)
-    m_pz = pool_take(particles.pz, idx)
-    m_vx = pool_take(particles.vx, idx)
-    m_vy = pool_take(particles.vy, idx)
-    m_vz = pool_take(particles.vz, idx)
+        wgt = pool_take(src.weight, idx)
+    m_px = pool_take(src.px, idx)
+    m_py = pool_take(src.py, idx)
+    m_pz = pool_take(src.pz, idx)
+    m_vx = pool_take(src.vx, idx)
+    m_vy = pool_take(src.vy, idx)
+    m_vz = pool_take(src.vz, idx)
     m_w = jnp.where(sel, wgt, 0.0)
 
     if shard is not None:

@@ -356,6 +356,10 @@ def measurement_update(
         )
         n_updated = n_updated + jnp.sum(upd_sp)
 
+    # (Compacting the writeback to realized-updated width was measured a
+    # net regression -- realized updated counts reach 5.6k of the ~32k
+    # capacity but the compaction+cond overhead exceeded the scatter
+    # saving.  docs/PERF.md round-3 dead ends.)
     weight = pool_put(particles.weight, slot, vals_w)
     if cfg.record_particle_time:
         t = pool_put(particles.t, slot,
