@@ -184,6 +184,20 @@ class MapConfig:
     #: XLA path to f32 rounding (different but equivalent d2 formulation;
     #: tests/test_pallas.py).  Ignored on CPU backends.
     use_pallas_update: bool = False
+    #: cross-slab mover exchange on the shard_map fast path
+    #: (parallel/shard_step.py): ``"all_gather"`` delivers every mover to
+    #: every shard (n-1 buffers of traffic, unconditionally correct);
+    #: ``"ring"`` exchanges only with the ``ring_hops`` nearest slabs in
+    #: each direction over ``ppermute`` (2*hops buffers -- the neighbor
+    #: exchange SURVEY.md section 7.1.7 names).  Ring is valid because the
+    #: z-major storage layout makes slabs contiguous z-ranges and per-frame
+    #: self-motion crosses few z-rows; movers bound further than
+    #: ``ring_hops`` slabs are dropped and counted in
+    #: ``mover_overflow_killed``.  The future-status scatter (prediction
+    #: horizons up to 2 s of reach) always uses all_gather.
+    mover_exchange: str = "all_gather"
+    #: neighbor radius (slabs, each direction) for ``mover_exchange="ring"``
+    ring_hops: int = 1
     #: maintain the per-particle last-update-time plane.  The reference
     #: stores this field but never reads it (``voxels_with_particle[..][8]``
     #: is write-only, dsp_dynamic.h:787,1194 -- no consumer anywhere), and

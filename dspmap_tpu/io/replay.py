@@ -54,6 +54,8 @@ def main(argv=None):
     ap.add_argument("--out", help="write per-frame outputs to this .npz")
     ap.add_argument("--threshold", type=float, default=0.2)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--tiny", action="store_true",
+                    help="16x16x8 smoke-test map (fast compile; CI use)")
     ap.add_argument("--csv", help="dump final particle CSV here")
     ap.add_argument("--checkpoint", help="save final state here (.npz)")
     args = ap.parse_args(argv)
@@ -71,7 +73,15 @@ def main(argv=None):
         "static": dm.dsp_static,
         "multi": dm.dsp_dynamic_multi_neighbors,
     }[args.variant]
-    cfg = dm.example_node_settings(preset())
+    # 9.6x9.6x4.8 m at coarse 0.6 m voxels: big enough that the synthetic
+    # street scene's pillars and pedestrians (x in [3, 8]) fall inside the
+    # map, small enough (16x16x8 grid) that a CPU compile finishes in
+    # minutes rather than the full config's ~5 min.
+    tiny = dict(
+        nx=16, ny=16, nz=8, voxel_resolution=0.6, max_input_points=256,
+        mover_capacity=2048, pyramid_slot_capacity=32, max_clusters=8,
+    ) if args.tiny else {}
+    cfg = dm.example_node_settings(preset(**tiny))
     state = dm.init_state(cfg, jax.random.key(0))
     step = jax.jit(dm.make_step(cfg))
 

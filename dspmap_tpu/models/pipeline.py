@@ -87,19 +87,11 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
     operands are this shard's slab, observations are replicated, and the
     cross-shard points (C-normalizer psum, mover/future-mover exchange,
     birth classification psum, metrics psum) run as explicit collectives.
-    Only the fused-sweep configurations (``limit_motion_to_xy_plane`` or
-    static) are supported -- the noisy general path runs under GSPMD
-    (``parallel.sharding.make_sharded_step``) instead.
+    Noisy-propagation configurations fold the shard index into the
+    pool-shaped noise keys so each slab draws independent noise (see the
+    prediction branch below); their mover exchange runs in ``ops.rebin``.
     """
     cfg.validate()
-    if shard is not None and not (
-        cfg.limit_motion_to_xy_plane or cfg.motion_model == "static"
-    ):
-        raise NotImplementedError(
-            "the shard_map fast path covers the fused-sweep configurations; "
-            "use parallel.sharding.make_sharded_step (GSPMD) for noisy "
-            "propagation"
-        )
 
     def step(state: MapState, frame: Frame):
         q_ok = geometry.quaternion_is_valid(frame.quat)
@@ -179,12 +171,22 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 )
                 rebin_stats = {}
             else:
-                particles = propagate(state.particles, cfg, keys[1], dt, rt=rt)
+                # Pool-shaped noise under shard_map: each shard's slab must
+                # draw DISTINCT noise (a replicated key would correlate the
+                # slabs), so the propagation/FOV keys fold in the shard
+                # index.  Binning and the measurement-update psum handle the
+                # rest (SURVEY.md section 7.1.7).
+                k_prop, k_fov = keys[1], keys[2]
+                if shard is not None:
+                    sid = jax.lax.axis_index(shard.axis)
+                    k_prop = jax.random.fold_in(k_prop, sid)
+                    k_fov = jax.random.fold_in(k_fov, sid)
+                particles = propagate(state.particles, cfg, k_prop, dt, rt=rt)
                 particles, rebin_stats = rebin(
-                    particles, cfg, origin, update_time
+                    particles, cfg, origin, update_time, shard=shard
                 )
                 particles, fovbin, fov_stats = register_fov(
-                    particles, cfg, frame.sensor_pos, frame.quat, keys[2], rt=rt
+                    particles, cfg, frame.sensor_pos, frame.quat, k_fov, rt=rt
                 )
                 future_movers = None
 
@@ -287,12 +289,18 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
 
     ``step(state, frames)`` takes a Frame pytree whose leaves carry a leading
     ``[n_sensors]`` axis; all sensors share the frame's timestamp (taken from
-    sensor 0).  Admission control applies to sensor 0's pose.
+    sensor 0).  Admission control is two-level: the *frame* is rejected only
+    on a pose jump / bad timestamp / no usable sensor (sensor 0's pose is the
+    vehicle pose, as in the reference's single-sensor gate,
+    dsp_dynamic.h:193-208); each *sensor* with an invalid quaternion is
+    individually skipped inside the scan (its measurement stage is the
+    identity), so one bad camera degrades coverage instead of poisoning the
+    shared step.
     """
     cfg.validate()
 
     def step(state: MapState, frames: Frame):
-        q_ok = geometry.quaternion_is_valid(frames.quat[0])
+        q_ok = jax.vmap(geometry.quaternion_is_valid)(frames.quat)  # [n]
         last_pos = jnp.where(
             state.initialized, state.last_sensor_pos, frames.sensor_pos[0]
         )
@@ -302,7 +310,7 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
         delta_p = frames.sensor_pos[0] - last_pos
         dt = frames.timestamp[0] - last_t
         jump_ok = jnp.all(jnp.abs(delta_p) <= 10.0) & (dt >= 0.0) & (dt <= 10.0)
-        accepted = q_ok & jump_ok
+        accepted = jnp.any(q_ok) & jump_ok
 
         def run(state: MapState):
             origin = geometry.window_origin(frames.sensor_pos[0], cfg)
@@ -315,37 +323,52 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
 
             def sensor_stage(carry, inp):
                 particles, key = carry
-                frame, est_state = inp
+                frame, est_state, sensor_ok = inp
+                # the key advances whether or not the sensor is admitted, so
+                # a flaky camera never perturbs the other sensors' draws
                 key, k_est, k_fov, k_birth = jax.random.split(key, 4)
-                point_valid = (
-                    jnp.arange(frame.points.shape[0], dtype=jnp.int32)
-                    < frame.n_points
-                )
-                obs = project_points(
-                    frame.points, point_valid, frame.sensor_pos, frame.quat, cfg
-                )
-                expected_newborn = (
-                    rt.newborn_particle_weight
-                    * obs.n_valid_points.astype(jnp.float32)
-                    * cfg.newborn_particles_per_point
-                )
-                est_out, est_state = estimate_velocities(
-                    obs.cloud_world, obs.cloud_valid, est_state, cfg, dt, k_est
-                )
-                particles, fovbin, _ = register_fov(
-                    particles, cfg, frame.sensor_pos, frame.quat, k_fov, rt=rt
-                )
-                particles, norm_coeff, _ = measurement_update(
-                    particles, fovbin, obs, cfg, expected_newborn, update_time,
-                    rt=rt,
-                )
-                particles, _ = particle_birth(
-                    particles, cfg, k_birth,
-                    est_points=est_out.points, est_vel=est_out.vel,
-                    est_dynamic=est_out.dynamic, est_valid=est_out.valid,
-                    norm_coeff=norm_coeff,
-                    origin=origin, update_time=update_time,
-                    rt=rt,
+
+                def admit(operand):
+                    particles, est_state = operand
+                    point_valid = (
+                        jnp.arange(frame.points.shape[0], dtype=jnp.int32)
+                        < frame.n_points
+                    )
+                    obs = project_points(
+                        frame.points, point_valid, frame.sensor_pos,
+                        frame.quat, cfg
+                    )
+                    expected_newborn = (
+                        rt.newborn_particle_weight
+                        * obs.n_valid_points.astype(jnp.float32)
+                        * cfg.newborn_particles_per_point
+                    )
+                    est_out, est_state = estimate_velocities(
+                        obs.cloud_world, obs.cloud_valid, est_state, cfg, dt,
+                        k_est
+                    )
+                    particles, fovbin, _ = register_fov(
+                        particles, cfg, frame.sensor_pos, frame.quat, k_fov,
+                        rt=rt,
+                    )
+                    particles, norm_coeff, _ = measurement_update(
+                        particles, fovbin, obs, cfg, expected_newborn,
+                        update_time, rt=rt,
+                    )
+                    particles, _ = particle_birth(
+                        particles, cfg, k_birth,
+                        est_points=est_out.points, est_vel=est_out.vel,
+                        est_dynamic=est_out.dynamic, est_valid=est_out.valid,
+                        norm_coeff=norm_coeff,
+                        origin=origin, update_time=update_time,
+                        rt=rt,
+                    )
+                    return particles, est_state
+
+                # per-sensor admission: a bad quaternion skips this sensor's
+                # measurement stage (identity), not the whole frame
+                particles, est_state = jax.lax.cond(
+                    sensor_ok, admit, lambda op: op, (particles, est_state)
                 )
                 return (particles, key), est_state
 
@@ -354,7 +377,7 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
             (particles, _), est_state = jax.lax.scan(
                 sensor_stage,
                 (particles, keys[1]),
-                (frames, state.estimator),
+                (frames, state.estimator, q_ok),
             )
 
             particles, weight_sum, vel_avg, future, occ_stats = (

@@ -60,6 +60,35 @@ class ShardCtx(NamedTuple):
         g = jax.lax.all_gather(x, self.axis)
         return g.reshape((-1,) + x.shape[1:])
 
+    def gather_ring(self, x: jnp.ndarray, hops: int = 1) -> jnp.ndarray:
+        """Neighbor exchange over the ring instead of the full all_gather:
+        concatenate this shard's buffer with its ``hops`` nearest neighbors'
+        in each direction (``ppermute``; SURVEY.md section 7.1.7's neighbor
+        exchange).  Valid for per-frame movers because slabs are contiguous
+        z-ranges of the z-major storage index (geometry.storage_index_planar)
+        and the toroidal z-wrap maps onto the ring wrap -- one frame of
+        self-motion crosses at most a few z-rows.  Movers whose destination
+        slab is further than ``hops`` away are NOT delivered; the caller
+        counts them as overflow kills (drop-on-full semantics).
+
+        Traffic: ``2*hops`` buffers vs the all_gather's ``n_shards - 1``.
+        """
+        n = self.n_shards
+        parts = [x]
+        for h in range(1, min(hops, (n - 1) // 2) + 1):
+            for sign in (1, -1):
+                perm = [(i, (i + sign * h) % n) for i in range(n)]
+                parts.append(jax.lax.ppermute(x, self.axis, perm))
+        return jnp.concatenate(parts, axis=0)
+
+    def ring_reachable(self, cell: jnp.ndarray, v_local: int,
+                       hops: int) -> jnp.ndarray:
+        """True where a global destination ``cell`` lies within ``hops``
+        slabs of this shard's slab on the ring."""
+        n = self.n_shards
+        d = (cell // v_local - self.lo // v_local) % n
+        return jnp.minimum(d, n - d) <= min(hops, (n - 1) // 2)
+
 
 def pool_take(plane: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     """Gather flat pool positions from a 2D ``[S, V]`` plane by (row, col)

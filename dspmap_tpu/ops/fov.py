@@ -314,7 +314,7 @@ def rebin_and_register(
             pool_take(particles.vz, safe_src),
             w[mov_i],
         )
-        own_over = jnp.int32(0)
+        own_over = ring_undelivered = jnp.int32(0)
         n_arrivals = n_mov
     else:
         # Cross-slab exchange: every shard's mover buffer (payload + global
@@ -330,8 +330,17 @@ def rebin_and_register(
             tags[mov_i],
             mov_ok & (mov_cell < cfg.voxel_num),
         )
+        if cfg.mover_exchange == "ring":
+            reach = shard.ring_reachable(
+                jnp.maximum(exp[0], 0), V, cfg.ring_hops
+            )
+            ring_undelivered = jnp.sum(exp[-1] & ~reach)
+            ex = lambda x: shard.gather_ring(x, cfg.ring_hops)  # noqa: E731
+        else:
+            ring_undelivered = jnp.int32(0)
+            ex = shard.gather_flat
         (a_cell, a_px, a_py, a_pz, a_vx, a_vy, a_vz, a_w, a_tags, a_ok) = (
-            jax.tree.map(shard.gather_flat, exp)
+            jax.tree.map(ex, exp)
         )
         own = a_ok & shard.owns(a_cell, V)
         own_i, own_ok, n_own, own_over = compact_mask(own, m_cap)
@@ -423,7 +432,7 @@ def rebin_and_register(
         # movers lost to either the combined or the mover buffer vanish
         # (vacated, never re-inserted) -- both counted here
         mover_overflow_killed=(total_movers - jnp.sum(is_mover))
-        + mov_buf_over + own_over,
+        + mov_buf_over + own_over + ring_undelivered,
         voxel_full_killed=n_arrivals - n_inserted,
         # FOV candidates dropped by the combined buffer (they keep their
         # weight but skip the measurement update this frame)

@@ -18,9 +18,12 @@ interaction hand-placed:
 * ``psum`` of the per-shard metric counters (models/pipeline.py).
 
 Observations, estimator state and RNG keys are replicated; per-shard results
-stay bitwise identical across shards for every replicated quantity because
-the fused-sweep configurations draw no pool-shaped randomness (the
-reference's own noise quirk, ops/propagate.py).
+stay bitwise identical across shards for every replicated quantity (the
+estimator and the newborn table are replicated compute from replicated
+keys).  Pool-shaped noise draws -- absent on the fused-sweep configurations
+(the reference's own noise quirk, ops/propagate.py), present on noisy
+dynamic configs -- fold the shard index into their keys so each slab draws
+independent noise (models/pipeline.py).
 
 Semantic deviations vs the single-device step (both bounded by capacity
 contention, none by steady-state behavior):
@@ -48,8 +51,9 @@ from .sharding import MAP_AXIS, make_mesh, state_shardings
 def make_shardmap_step(cfg: MapConfig, mesh=None, with_metrics: bool = True):
     """Build the explicitly scheduled sharded step: ``step(state, frame)``
     with state sharded along the map axis (``shard_state``) and the frame
-    replicated.  Covers the fused-sweep configurations (limit-xy / static);
-    see :func:`~..models.pipeline.make_step` for the shard semantics.
+    replicated.  Covers every variant (fused-sweep limit-xy / static AND
+    noisy propagation); see :func:`~..models.pipeline.make_step` for the
+    shard semantics.
     """
     from ..models.pipeline import Frame, StepOutput, make_step
     from ..state import init_state

@@ -177,8 +177,8 @@ def test_voxel_downsample_matches_leaf_centroids():
 def test_replay_cli_runs(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "dspmap_tpu.io.replay", "--frames", "3",
-         "--cpu", "--csv", str(tmp_path / "p.csv")],
-        capture_output=True, text=True, timeout=600,
+         "--cpu", "--tiny", "--csv", str(tmp_path / "p.csv")],
+        capture_output=True, text=True, timeout=900,
         cwd=Path(__file__).parents[1],
     )
     assert out.returncode == 0, out.stderr[-2000:]
