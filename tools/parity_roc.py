@@ -61,12 +61,23 @@ def replay_ours(cfg, frames, dm, jnp, jax):
     return recs
 
 
+#: per-variant (preset name, frames, seeds, steady) -- the 1-degree multi
+#: oracle is the heaviest reference configuration, so its sweep is shorter
+VARIANTS = {
+    "dynamic": ("dsp_dynamic", 60, [3, 4], 15),
+    "static": ("dsp_static", 40, [3], 12),
+    "multi": ("dsp_dynamic_multi_neighbors", 20, [3], 8),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=60)
-    ap.add_argument("--seeds", type=int, nargs="+", default=[3, 4])
+    ap.add_argument("--frames", type=int, default=None,
+                    help="override the per-variant default")
+    ap.add_argument("--seeds", type=int, nargs="+", default=None)
     ap.add_argument("--max-points", type=int, default=3000)
-    ap.add_argument("--steady", type=int, default=15)
+    ap.add_argument("--steady", type=int, default=None)
+    ap.add_argument("--variant", default="dynamic", choices=sorted(VARIANTS))
     args = ap.parse_args()
 
     import jax
@@ -74,10 +85,22 @@ def main():
     jax.config.update("jax_threefry_partitionable", True)
     import jax.numpy as jnp
     import dspmap_tpu as dm
-    from run_oracle import make_frames, run
+    from run_oracle import make_frames, run as run_oracle_variant
+
+    preset_name, d_frames, d_seeds, d_steady = VARIANTS[args.variant]
+    if args.frames is None:
+        args.frames = d_frames
+    if args.seeds is None:
+        args.seeds = d_seeds
+    if args.steady is None:
+        args.steady = d_steady
+
+    def run(_ignored, frames, max_points, threshold):
+        return run_oracle_variant(args.variant, frames, max_points,
+                                  threshold=threshold)
 
     cfg = dm.example_node_settings(
-        dm.dsp_dynamic(max_input_points=args.max_points))
+        getattr(dm, preset_name)(max_input_points=args.max_points))
     tol = cfg.voxel_resolution * 1.6
     taus = list(cfg.prediction_horizons)
     frame_dt = 0.1
@@ -143,9 +166,10 @@ def main():
 
     lines = [
         "",
-        "## Distribution-level parity (round 2, tools/parity_roc.py)",
+        f"## Distribution-level parity: {args.variant} "
+        "(tools/parity_roc.py)",
         "",
-        f"Dynamic variant, {args.frames} frames x seeds {args.seeds}, "
+        f"{args.variant} variant, {args.frames} frames x seeds {args.seeds}, "
         f"steady-state frames {args.steady}+.",
         "",
         "### Occupancy operating curve vs the compiled reference",
