@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import MapConfig
 from .. import geometry
-from ..state import MapState, flatten_pool
+from ..state import MapState, flatten_pool, ravel_plane
 from ..estimator import estimate_velocities
 from ..ops.propagate import propagate
 from ..ops.rebin import rebin
@@ -161,7 +161,8 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 # per site); occupancy_and_resample converts back once.
                 particles = flatten_pool(particles)
                 sw = sw._replace(
-                    tags=sw.tags.reshape(-1), new_cell=sw.new_cell.reshape(-1)
+                    tags=ravel_plane(sw.tags),
+                    new_cell=ravel_plane(sw.new_cell),
                 )
                 particles, fovbin, future_movers, fov_stats = (
                     rebin_and_register(

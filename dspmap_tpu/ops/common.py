@@ -136,6 +136,11 @@ def pool_take_stacked(planes, flat: jnp.ndarray):
     if planes[0].ndim == 1:
         # FLAT pool planes: one [F, S*V] stack + (F, 1) window gather.
         n = planes[0].shape[0]
+        if n * 4 * len(planes) >= (256 << 20):
+            # Huge-pool opt-out (mirrors the 2-D branch below): the stack
+            # copy scales with the pool (~1 GB at large_urban) while flat
+            # pair gathers are already native 1-D -- no relayout to save.
+            return [pool_take(p, jnp.clip(flat, 0, n - 1)) for p in planes]
         f32 = [
             p if p.dtype == jnp.float32 else p.astype(jnp.float32)
             for p in planes
@@ -226,6 +231,23 @@ def pool_put(plane: jnp.ndarray, flat: jnp.ndarray, vals) -> jnp.ndarray:
     )
 
 
+def select_bit(w: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+    """Position of the ``off``-th set bit of each u32 in ``w`` (garbage when
+    ``off >= popcount(w)`` -- callers mask).  Binary search by half-word
+    population counts: 5 popcount+select steps instead of a 32-step bit
+    sweep (measured ~6x less VPU work at compaction capacity widths)."""
+    lane = jnp.zeros_like(off)
+    rem = off
+    for half in (16, 8, 4, 2, 1):
+        low = jnp.uint32((1 << half) - 1)
+        cnt = jax.lax.population_count(w & low).astype(rem.dtype)
+        hi = rem >= cnt
+        lane = lane + jnp.where(hi, half, 0)
+        rem = rem - jnp.where(hi, cnt, 0)
+        w = jnp.where(hi, w >> jnp.uint32(half), w)
+    return lane
+
+
 def compact_mask(mask: jnp.ndarray, capacity: int):
     """Compact the True positions of a flat boolean ``mask`` into a fixed-size
     index buffer (first-to-last order).
@@ -266,6 +288,7 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
     counts = jax.lax.population_count(words).astype(jnp.int32)
 
     out_pos = jnp.arange(capacity, dtype=jnp.int32)
+    B = 32
     if n_words <= 8192:
         # Output position -> source word via scatter + forward fill: each
         # nonempty word scatters its index at its output start, cummax fills
@@ -289,10 +312,11 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
         # costs ~3-7 ns per WORD (98k words at 3.1M pool = ~0.3-0.7
         # ms/frame, the top fusion of the round-2 trace).  Grouping words
         # into 32-word blocks scatters only n_blocks entries; the word
-        # within the block is then found by a 32-step prefix scan over the
-        # block's count row (pure VPU at capacity width, like the bit
-        # select below).
-        B = 32
+        # within the block is then found from the block's count row by a
+        # strictly-lower-triangular prefix matmul (one MXU pass at
+        # capacity width) + a masked max (prefix is non-decreasing, so the
+        # largest masked prefix IS the selected word's start) -- replacing
+        # a 32-step scalar scan over the row.
         bpad = (-n_words) % B
         counts2 = (jnp.concatenate([counts, jnp.zeros((bpad,), jnp.int32)])
                    if bpad else counts).reshape(-1, B)
@@ -310,25 +334,19 @@ def compact_mask(mask: jnp.ndarray, capacity: int):
         block_of = jax.lax.cummax(block_of)
         off_blk = out_pos - block_starts[block_of]
         crow = counts2[block_of]  # [capacity, B] native row gather
-        # word within block: largest w with sum(crow[:w]) <= off_blk
-        pref = jnp.zeros_like(out_pos)
-        win = jnp.zeros_like(out_pos)
-        off = off_blk
-        for b in range(B):
-            c = crow[:, b]
-            here = (off_blk >= pref) & (off_blk < pref + c)
-            win = jnp.where(here, b, win)
-            off = jnp.where(here, off_blk - pref, off)
-            pref = pref + c
-        word_of = block_of * B + win
+        # word within block: largest w with pref[w] = sum(crow[:w]) <= off_blk
+        # (counts <= 32 and block sums <= 1024, exact in f32)
+        tri = jnp.asarray(np.triu(np.ones((B, B), np.float32), k=1))
+        pref = jnp.dot(crow.astype(jnp.float32), tri,
+                       preferred_element_type=jnp.float32)  # [capacity, B]
+        le = pref <= off_blk[:, None].astype(jnp.float32)
+        win = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+        off = off_blk - jnp.max(
+            jnp.where(le, pref, 0.0), axis=1
+        ).astype(jnp.int32)
+        word_of = jnp.minimum(block_of * B + win, n_words - 1)
     w = words[word_of]
-    # off-th set bit of w: 32-step select sweep, all in one VPU fusion.
-    prefix = jnp.zeros_like(out_pos)
-    lane = jnp.zeros_like(out_pos)
-    for b in range(W):
-        bit = ((w >> jnp.uint32(b)) & 1).astype(jnp.int32)
-        lane = jnp.where((bit == 1) & (prefix == off), b, lane)
-        prefix = prefix + bit
+    lane = select_bit(w, off)
     indices = word_of * W + lane
 
     valid = out_pos < n_selected

@@ -58,28 +58,45 @@ def empty_slot_lookup(flags, cell, ranks, slots: int | None = None):
     else:
         S, V = flags.shape
         occ_row = lambda s: flags[s] != 0
+    # Per-voxel EMPTY bitmask words (bit s set = slot s free; bits >= S in
+    # the last word stay 0 so popcounts see only real slots).
     words = []
     for w in range((S + 31) // 32):
         lo, hi = w * 32, min((w + 1) * 32, S)
         acc = jnp.zeros((V,), jnp.uint32)
         for s in range(lo, hi):
-            acc = acc + jnp.where(
-                occ_row(s), jnp.uint32(1) << jnp.uint32(s - lo),
-                jnp.uint32(0),
+            acc = acc | jnp.where(
+                occ_row(s), jnp.uint32(0),
+                jnp.uint32(1) << jnp.uint32(s - lo),
             )
         words.append(acc)
     cand_words = [w[cell] for w in words]  # [M] gathers
 
-    prefix = jnp.zeros_like(ranks)
-    slot = jnp.full_like(ranks, S)
-    for b in range(S):
-        bit = ((cand_words[b // 32] >> jnp.uint32(b % 32)) & 1).astype(
-            ranks.dtype
-        ) ^ 1  # 1 = empty
-        hit = (bit == 1) & (prefix == ranks)
-        slot = jnp.where(hit, b, slot)
-        prefix = prefix + bit
-    return slot, prefix  # prefix = per-voxel empty count after full sweep
+    # ranks-th empty slot: pick the word by cumulative popcount, then a
+    # 5-step in-word bit select (common.select_bit) -- O(W + 5) VPU steps
+    # instead of the previous S-step bit sweep (S reaches 50-60 on the
+    # static/multi variants' safety-factor slot depths).
+    counts = [
+        jax.lax.population_count(w).astype(ranks.dtype) for w in cand_words
+    ]
+    n_empty = counts[0]
+    for c in counts[1:]:
+        n_empty = n_empty + c
+    sel_w = cand_words[0]
+    rem = ranks
+    base = jnp.zeros_like(ranks)
+    cum = counts[0]
+    for wi in range(1, len(cand_words)):
+        go = ranks >= cum
+        sel_w = jnp.where(go, cand_words[wi], sel_w)
+        rem = jnp.where(go, ranks - cum, rem)
+        base = jnp.where(go, wi * 32, base)
+        cum = cum + counts[wi]
+    from .common import select_bit
+
+    lane = select_bit(sel_w, rem)
+    slot = jnp.where(ranks < n_empty, base + lane, S)
+    return slot, n_empty
 
 
 def allocate_slots(particles, cell, ranks, valid, cfg=None):

@@ -84,6 +84,37 @@ class Particles:
         return jnp.stack([self.vx, self.vy, self.vz], axis=-1)
 
 
+#: keep in sync with ops.common._DMA_RELAYOUT_BYTES (same cliff)
+_DMA_RELAYOUT_BYTES = 16 << 20
+
+
+def ravel_plane(x: jnp.ndarray) -> jnp.ndarray:
+    """``[S, V]`` -> ``[S*V]``, picking the cheap conversion per scale:
+    below VMEM size XLA's own reshape relayout is a single fast copy
+    (~0.03 ms at the flagship's 12.5 MB planes, round-3 trace); above it
+    XLA degrades to a chunked ~35 GB/s loop (~6-12 ms at large_urban's
+    216 MB planes -- the round-3 large-map regression), so big planes
+    route through the Pallas DMA relayout kernel (~200 GB/s,
+    ops/pallas/relayout.py)."""
+    if (x.ndim == 2 and x.size * x.dtype.itemsize >= _DMA_RELAYOUT_BYTES
+            and x.shape[1] % 1024 == 0 and jax.default_backend() != "cpu"):
+        from .ops.pallas.relayout import to_flat
+
+        return to_flat(x)
+    return x.reshape(-1)
+
+
+def unravel_plane(x: jnp.ndarray, slots: int) -> jnp.ndarray:
+    """``[S*V]`` -> ``[S, V]`` (inverse of :func:`ravel_plane`)."""
+    v = x.shape[0] // slots
+    if (x.size * x.dtype.itemsize >= _DMA_RELAYOUT_BYTES
+            and v % 1024 == 0 and jax.default_backend() != "cpu"):
+        from .ops.pallas.relayout import from_flat
+
+        return from_flat(x, slots, v)
+    return x.reshape(slots, v)
+
+
 def flatten_pool(p: Particles) -> Particles:
     """Ravel every pool plane to its flat ``[S*V]`` form.
 
@@ -96,9 +127,11 @@ def flatten_pool(p: Particles) -> Particles:
     between the first scatter and the occupancy stage makes every scatter
     AND every flat-index gather native, so each plane converts exactly
     twice per frame (once in, once back out for the occupancy kernel's
-    tiled [S, V] blocks) instead of once per site."""
+    tiled [S, V] blocks) instead of once per site.  Conversions go through
+    :func:`ravel_plane` so >VMEM planes take the DMA kernel, not XLA's
+    chunked relayout loop."""
     return dataclasses.replace(
-        p, **{f.name: getattr(p, f.name).reshape(-1)
+        p, **{f.name: ravel_plane(getattr(p, f.name))
               for f in dataclasses.fields(p)}
     )
 
@@ -108,9 +141,8 @@ def unflatten_pool(p: Particles, slots: int) -> Particles:
     already 2-D)."""
     if p.flags.ndim == 2:
         return p
-    v = p.flags.shape[0] // slots
     return dataclasses.replace(
-        p, **{f.name: getattr(p, f.name).reshape(slots, v)
+        p, **{f.name: unravel_plane(getattr(p, f.name), slots)
               for f in dataclasses.fields(p)}
     )
 
