@@ -159,7 +159,10 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 # [S*V] planes (native layout for XLA's linearized pool
                 # scatters -- no tiled<->flat relayout copy pair per plane
                 # per site); occupancy_and_resample converts back once.
-                particles = flatten_pool(particles)
+                particles = flatten_pool(
+                    particles,
+                    skip=() if cfg.record_particle_time else ("t",),
+                )
                 sw = sw._replace(
                     tags=ravel_plane(sw.tags),
                     new_cell=ravel_plane(sw.new_cell),

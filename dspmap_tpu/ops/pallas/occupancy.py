@@ -77,80 +77,105 @@ def _kernel(*refs, cfg: MapConfig, S: int, with_t: bool, with_moving: bool):
     # ---- systematic resampling (dsp_dynamic.h:986-1055) ----------------
     count = jnp.sum(fvalid, axis=0)
     do_rs = count >= cfg.resample_min_count
-    n_target = jnp.minimum(count, float(cfg.max_particles_per_voxel))
-    wa = jnp.where(do_rs, weight_sum / jnp.maximum(n_target, 1.0), 1.0)
-    # Materialized [S, L] copy of the per-voxel mask: Mosaic cannot relayout
-    # an i1 vector whose broadcast dimension is replicated, so build it
-    # through f32 arithmetic.
-    do_rs_b = (jnp.zeros_like(w) + do_rs.astype(jnp.float32)[None, :]) > 0.0
 
-    # slot-axis inclusive cumsum: S-step unrolled row loop (S is small;
-    # Mosaic has no cumsum lowering and rejects small 2-D iotas)
-    def cumsum_rows(x):
-        acc = x[0:1, :]
-        rows = [acc]
-        for s in range(1, S):
-            acc = acc + x[s : s + 1, :]
-            rows.append(acc)
-        return jnp.concatenate(rows, axis=0)
-
-    hi = cumsum_rows(wv)  # [S, L]
-    lo = hi - wv
-
-    def n_grid(x):  # grid points wa*(k+1/2) strictly below x
-        return jnp.maximum(jnp.ceil(x / wa - 0.5), 0.0)
-
-    copies = jnp.where(valid & do_rs_b, n_grid(hi) - n_grid(lo), 0.0)
-    kept = valid & do_rs_b & (copies >= 1.0)
-    dropped = valid & do_rs_b & (copies == 0.0)
-    extra = jnp.maximum(copies - 1.0, 0.0)
-
-    is_free = ((~valid) | dropped).astype(jnp.float32)
-    free_cum = cumsum_rows(is_free)
-    free_rank = free_cum - is_free
-    total_free = free_cum[S - 1]
-    demand_end = cumsum_rows(extra)
-    total_extra = demand_end[S - 1]
-
-    # copy placement: free slot of rank r sources particle j with
-    # demand_end[j-1] <= r < demand_end[j]
-    src_idx = jnp.zeros_like(free_rank)
-    for j in range(S):
-        de_j = jnp.zeros_like(free_rank) + demand_end[j][None, :]
-        src_idx = src_idx + (de_j <= free_rank).astype(jnp.float32)
-    lim = jnp.zeros_like(free_rank) + jnp.minimum(total_extra, total_free)[None, :]
-    filled = ((~valid) | dropped) & (free_rank < lim) & do_rs_b
-
-    # fold-back for copies that found no space (dsp_dynamic.h:1037-1041)
-    demand_start = demand_end - extra
-    placed = jnp.clip(total_free[None, :] - demand_start, 0.0, extra)
-    unplaced = extra - placed
-
-    new_w = jnp.where(kept, wa * (1.0 + unplaced), w)
-    new_w = jnp.where(filled, wa[None, :] * jnp.ones_like(w), new_w)
-    base_flags = jnp.where(cull, 0, flags)
-    new_flags = jnp.where(valid, 1, base_flags)
-    new_flags = jnp.where(dropped, 0, new_flags)
-    new_flags = jnp.where(filled, 1, new_flags)
-
-    oflags_ref[...] = new_flags.astype(jnp.int32)
-    ow_ref[...] = new_w
-
-    # One placement loop for all planes: the (src_idx == j) compare is
-    # shared across the 6-7 copied fields instead of recomputed per plane
-    # (the kernel is VPU-bound on exactly these selects; docs/PERF.md).
     pairs = [(px_ref, opx_ref), (py_ref, opy_ref), (pz_ref, opz_ref),
              (vx_ref, ovx_ref), (vy_ref, ovy_ref), (vz_ref, ovz_ref)]
     if with_t:
         pairs.append((t_ref, ot_ref))
-    fields = [f_ref[...] for f_ref, _ in pairs]
-    sels = [jnp.broadcast_to(f[0][None, :], f.shape) for f in fields]
-    for j in range(1, S):
-        hit = src_idx == j
-        sels = [jnp.where(hit, f[j][None, :], s)
-                for f, s in zip(fields, sels)]
-    for (f_ref, o_ref), f, s in zip(pairs, fields, sels):
-        o_ref[...] = jnp.where(filled, s, f)
+
+    # The resample math is the kernel's VPU cost: three S-step row cumsums,
+    # the S^2 copy-placement sweep and S-deep placement selects -- O(S^2 L)
+    # work where everything else is O(S L).  Resampling only fires in voxels
+    # holding >= resample_min_count survivors, which cluster around observed
+    # surfaces; most [S, L] tiles of the pool contain none (street scene:
+    # ~85-95% of tiles skip).  Predicate the whole block per tile.
+    any_rs = jnp.any(do_rs)
+
+    @pl.when(any_rs)
+    def _resample():
+        n_target = jnp.minimum(count, float(cfg.max_particles_per_voxel))
+        wa = jnp.where(do_rs, weight_sum / jnp.maximum(n_target, 1.0), 1.0)
+        # Materialized [S, L] copy of the per-voxel mask: Mosaic cannot
+        # relayout an i1 vector whose broadcast dimension is replicated, so
+        # build it through f32 arithmetic.
+        do_rs_b = (jnp.zeros_like(w) + do_rs.astype(jnp.float32)[None, :]) > 0.0
+
+        # slot-axis inclusive cumsum: S-step unrolled row loop (S is small;
+        # Mosaic has no cumsum lowering and rejects small 2-D iotas)
+        def cumsum_rows(x):
+            acc = x[0:1, :]
+            rows = [acc]
+            for s in range(1, S):
+                acc = acc + x[s : s + 1, :]
+                rows.append(acc)
+            return jnp.concatenate(rows, axis=0)
+
+        hi = cumsum_rows(wv)  # [S, L]
+        lo = hi - wv
+
+        def n_grid(x):  # grid points wa*(k+1/2) strictly below x
+            return jnp.maximum(jnp.ceil(x / wa - 0.5), 0.0)
+
+        copies = jnp.where(valid & do_rs_b, n_grid(hi) - n_grid(lo), 0.0)
+        kept = valid & do_rs_b & (copies >= 1.0)
+        dropped = valid & do_rs_b & (copies == 0.0)
+        extra = jnp.maximum(copies - 1.0, 0.0)
+
+        is_free = ((~valid) | dropped).astype(jnp.float32)
+        free_cum = cumsum_rows(is_free)
+        free_rank = free_cum - is_free
+        total_free = free_cum[S - 1]
+        demand_end = cumsum_rows(extra)
+        total_extra = demand_end[S - 1]
+
+        # copy placement: free slot of rank r sources particle j with
+        # demand_end[j-1] <= r < demand_end[j]
+        src_idx = jnp.zeros_like(free_rank)
+        for j in range(S):
+            de_j = jnp.zeros_like(free_rank) + demand_end[j][None, :]
+            src_idx = src_idx + (de_j <= free_rank).astype(jnp.float32)
+        lim = jnp.zeros_like(free_rank) + jnp.minimum(
+            total_extra, total_free
+        )[None, :]
+        filled = ((~valid) | dropped) & (free_rank < lim) & do_rs_b
+
+        # fold-back for copies that found no space (dsp_dynamic.h:1037-1041)
+        demand_start = demand_end - extra
+        placed = jnp.clip(total_free[None, :] - demand_start, 0.0, extra)
+        unplaced = extra - placed
+
+        new_w = jnp.where(kept, wa * (1.0 + unplaced), w)
+        new_w = jnp.where(filled, wa[None, :] * jnp.ones_like(w), new_w)
+        base_flags = jnp.where(cull, 0, flags)
+        new_flags = jnp.where(valid, 1, base_flags)
+        new_flags = jnp.where(dropped, 0, new_flags)
+        new_flags = jnp.where(filled, 1, new_flags)
+
+        oflags_ref[...] = new_flags.astype(jnp.int32)
+        ow_ref[...] = new_w
+
+        # One placement loop for all planes: the (src_idx == j) compare is
+        # shared across the 6-7 copied fields instead of recomputed per plane
+        # (the kernel is VPU-bound on exactly these selects; docs/PERF.md).
+        fields = [f_ref[...] for f_ref, _ in pairs]
+        sels = [jnp.broadcast_to(f[0][None, :], f.shape) for f in fields]
+        for j in range(1, S):
+            hit = src_idx == j
+            sels = [jnp.where(hit, f[j][None, :], s)
+                    for f, s in zip(fields, sels)]
+        for (f_ref, o_ref), f, s in zip(pairs, fields, sels):
+            o_ref[...] = jnp.where(filled, s, f)
+
+    @pl.when(jnp.logical_not(any_rs))
+    def _no_resample():
+        # No voxel in this tile resamples: copies == 0 for every slot, so
+        # kept/dropped/filled are all False -- the cull + newborn-reset
+        # flag update and an unchanged weight/payload copy are exact.
+        base_flags = jnp.where(cull, 0, flags)
+        oflags_ref[...] = jnp.where(valid, 1, base_flags).astype(jnp.int32)
+        ow_ref[...] = w
+        for f_ref, o_ref in pairs:
+            o_ref[...] = f_ref[...]
 
 
 @functools.partial(

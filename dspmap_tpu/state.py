@@ -115,7 +115,7 @@ def unravel_plane(x: jnp.ndarray, slots: int) -> jnp.ndarray:
     return x.reshape(slots, v)
 
 
-def flatten_pool(p: Particles) -> Particles:
+def flatten_pool(p: Particles, skip: tuple = ()) -> Particles:
     """Ravel every pool plane to its flat ``[S*V]`` form.
 
     Mid-frame representation for the scatter-heavy stages (mover insertion
@@ -129,21 +129,27 @@ def flatten_pool(p: Particles) -> Particles:
     twice per frame (once in, once back out for the occupancy kernel's
     tiled [S, V] blocks) instead of once per site.  Conversions go through
     :func:`ravel_plane` so >VMEM planes take the DMA kernel, not XLA's
-    chunked relayout loop."""
+    chunked relayout loop.
+
+    ``skip`` names planes left in their 2-D form -- used for planes that
+    are never touched during the flat phase (the write-only ``t`` plane
+    when ``record_particle_time`` is off), whose round-trip conversion
+    would be pure waste (~2 ms/frame at large_urban's 216 MB planes)."""
     return dataclasses.replace(
         p, **{f.name: ravel_plane(getattr(p, f.name))
-              for f in dataclasses.fields(p)}
+              for f in dataclasses.fields(p) if f.name not in skip}
     )
 
 
 def unflatten_pool(p: Particles, slots: int) -> Particles:
-    """Restore ``[S, V]`` planes from the flat mid-frame form (no-op when
-    already 2-D)."""
+    """Restore ``[S, V]`` planes from the flat mid-frame form (no-op on
+    planes already 2-D, e.g. those skipped by :func:`flatten_pool`)."""
     if p.flags.ndim == 2:
         return p
     return dataclasses.replace(
         p, **{f.name: unravel_plane(getattr(p, f.name), slots)
-              for f in dataclasses.fields(p)}
+              for f in dataclasses.fields(p)
+              if getattr(p, f.name).ndim == 1}
     )
 
 
