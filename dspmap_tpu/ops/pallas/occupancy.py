@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import MapConfig
 
 
-def _kernel(*refs, cfg: MapConfig, S: int, with_t: bool, with_moving: bool):
+def _kernel(*refs, cfg: MapConfig, S: int, V: int, with_t: bool,
+            with_moving: bool):
     # Optional planes (both statically configured): the particle-time plane
     # rides along only when ``cfg.record_particle_time`` (write-only state,
     # see config.py), and the [S, L] ``moving`` mask is emitted only when the
@@ -88,8 +89,19 @@ def _kernel(*refs, cfg: MapConfig, S: int, with_t: bool, with_moving: bool):
     # work where everything else is O(S L).  Resampling only fires in voxels
     # holding >= resample_min_count survivors, which cluster around observed
     # surfaces; most [S, L] tiles of the pool contain none (street scene:
-    # ~85-95% of tiles skip).  Predicate the whole block per tile.
-    any_rs = jnp.any(do_rs)
+    # ~85-95% of tiles skip).  Predicate the whole block per tile.  On the
+    # last tile of a non-multiple V the padding lanes hold UNDEFINED data
+    # (Pallas TPU makes no zero-fill promise), so the reduce must see only
+    # real voxels -- a garbage lane could otherwise flip any_rs and defeat
+    # the skip nondeterministically (per-lane outputs are still gated by
+    # do_rs_b, so correctness never depended on this).
+    L = w.shape[1]
+    if V % L:
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+        in_bounds = (pl.program_id(0) * L + col) < V  # [S, L]
+        any_rs = jnp.any(do_rs[None, :] & in_bounds)
+    else:
+        any_rs = jnp.any(do_rs)
 
     @pl.when(any_rs)
     def _resample():
@@ -217,7 +229,7 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
         operands.append(particles.t)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg, S=S, with_t=with_t,
+        functools.partial(_kernel, cfg=cfg, S=S, V=V, with_t=with_t,
                           with_moving=with_moving),
         grid=grid,
         in_specs=[bspec() for _ in range(n_planes)],

@@ -134,7 +134,18 @@ def flatten_pool(p: Particles, skip: tuple = ()) -> Particles:
     ``skip`` names planes left in their 2-D form -- used for planes that
     are never touched during the flat phase (the write-only ``t`` plane
     when ``record_particle_time`` is off), whose round-trip conversion
-    would be pure waste (~2 ms/frame at large_urban's 216 MB planes)."""
+    would be pure waste (~2 ms/frame at large_urban's 216 MB planes).
+    Only planes genuinely untouched mid-frame may be skipped: a skipped
+    plane stays 2-D, and the 1-D-assuming flat-phase call sites would
+    mis-handle it far from the cause -- hence the guard below.  ``flags``
+    can never be skipped (``unflatten_pool`` and ``pool_sv`` key off it)."""
+    field_names = {f.name for f in dataclasses.fields(p)}
+    if not (isinstance(skip, (tuple, frozenset, set))
+            and set(skip) <= field_names - {"flags"}):
+        raise ValueError(
+            f"flatten_pool skip must be a tuple/set of pool field names "
+            f"excluding 'flags'; got {skip!r}"
+        )
     return dataclasses.replace(
         p, **{f.name: ravel_plane(getattr(p, f.name))
               for f in dataclasses.fields(p) if f.name not in skip}

@@ -116,6 +116,77 @@ def test_occupancy_kernel_matches_xla(safety):
                                   np.asarray(n_old_r).astype(np.int32))
 
 
+@pytest.mark.parametrize(
+    "scenario",
+    ["no_resample", "multi_tile_mixed", "tail_tile", "no_resample_with_t"],
+)
+def test_occupancy_kernel_skip_branch(scenario):
+    """The kernel's per-tile resample skip (``pl.when(any_rs)``): tiles whose
+    voxels all hold < resample_min_count survivors take the cheap copy branch,
+    which must be element-exact too -- including the t-plane copy when
+    ``record_particle_time`` and the mixed case where some grid tiles resample
+    and others skip (V > L), plus a non-multiple V whose tail tile must mask
+    its padding lanes out of the ``any_rs`` reduce."""
+    from dspmap_tpu.ops.occupancy import _pool_pass_xla
+    from dspmap_tpu.ops.pallas.occupancy import occupancy_pool_pass
+
+    kw = {}
+    if scenario == "multi_tile_mixed":
+        kw.update(nx=32, ny=32)  # V = 8192 -> 4 tiles at L = 2048
+    elif scenario == "tail_tile":
+        kw.update(nx=24)  # V = 3072 -> one full tile + a 1024 tail
+    elif scenario == "no_resample_with_t":
+        kw.update(record_particle_time=True)
+    cfg = _cfg(**kw)
+    S, V = cfg.slots_per_voxel, cfg.storage_voxels
+    L = 2048 if S <= 32 else 1024
+    rng = np.random.default_rng(3)
+    flags = np.zeros((S, V), np.int32)
+    weights = np.zeros((S, V), np.float32)
+    vx = np.zeros((S, V), np.float32)
+    resample_hi = min(V, L) if scenario in ("multi_tile_mixed", "tail_tile") else 0
+    for c in rng.choice(V, size=min(300, V // 4), replace=False):
+        if c < resample_hi:
+            k = rng.integers(cfg.resample_min_count, S + 1)  # resampling voxel
+        else:
+            k = rng.integers(1, cfg.resample_min_count)  # below the threshold
+        slots = rng.choice(S, size=k, replace=False)
+        flags[slots, c] = rng.choice([1, 1, 1, 3], size=k)
+        weights[slots, c] = rng.uniform(0.01, 1.0, size=k)
+        vx[slots, c] = np.where(rng.random(k) < 0.3, 1.0, 0.0)
+    # sanity: the populated pool exercises the intended branches
+    survivors = ((flags != 0) & (weights >= cfg.weight_cull_threshold)).sum(0)
+    if resample_hi:
+        assert survivors[:resample_hi].max() >= cfg.resample_min_count
+        assert survivors[resample_hi:].max() < cfg.resample_min_count
+    else:
+        assert survivors.max() < cfg.resample_min_count
+
+    state = dm.init_state(cfg, jax.random.key(0))
+    p = dataclasses.replace(
+        state.particles,
+        flags=jnp.asarray(flags), weight=jnp.asarray(weights),
+        vx=jnp.asarray(vx),
+        px=jnp.asarray(rng.normal(0, 1, (S, V)), jnp.float32),
+        t=jnp.asarray(rng.uniform(0, 5, (S, V)), jnp.float32),
+    )
+    ref, ws_r, n_old_r, vsum_r, static_r, moving_r = _pool_pass_xla(p, cfg)
+    fields, ws, n_old, vsum, static_c, moving = occupancy_pool_pass(
+        p, cfg, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fields["flags"]),
+                                  np.asarray(ref.flags))
+    np.testing.assert_allclose(np.asarray(fields["weight"]),
+                               np.asarray(ref.weight), rtol=1e-6, atol=1e-9)
+    for f in ("px", "py", "pz", "vx", "vy", "vz", "t"):
+        np.testing.assert_allclose(
+            np.asarray(fields[f]), np.asarray(getattr(ref, f)),
+            rtol=1e-6, err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(moving), np.asarray(moving_r))
+
+
 def test_update_pair_kernels_match_xla():
     """The measurement-update pair kernels (ops/pallas/update.py) match the
     XLA einsum formulation to f32 rounding (the kernels compute d2 as
