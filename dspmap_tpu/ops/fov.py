@@ -294,7 +294,6 @@ def rebin_and_register(
     # the documented parallel-semantics deviation).
     flags_vac = jnp.where(sw.mover, jnp.int32(0), particles.flags)
     vacated = dataclasses.replace(particles, flags=flags_vac)
-    n_before = jnp.sum(vacated.valid)
 
     if shard is None:
         order, _, ranks_sorted = sort_by_destination(mov_cell, mov_ok)
@@ -363,7 +362,11 @@ def rebin_and_register(
         update_time if cfg.record_particle_time else None,
         cfg=cfg,
     )
-    n_inserted = jnp.sum(new_particles.valid) - n_before
+    # keep_ins marks exactly the candidates whose scatter lands (in-bounds
+    # destination with a free slot), so the insertion count is a
+    # buffer-sized reduce -- NOT a before/after pool-wide alive diff
+    # (two [S, V] reduces, ~0.37 ms/frame; round-4 trace).
+    n_inserted = jnp.sum(keep_ins)
 
     # ---- FOV registration from the combined buffer ---------------------
     if shard is None:

@@ -99,18 +99,23 @@ def empty_slot_lookup(flags, cell, ranks, slots: int | None = None):
     return slot, n_empty
 
 
+def _allocate_from_flags(flags, cell, ranks, valid, S, V):
+    """:func:`allocate_slots` on a bare flags plane (``[S, V]`` or flat
+    ``[S*V]``) -- lets switch branches take only the plane they read."""
+    in_bounds = valid & (cell < V)
+    safe_cell = jnp.clip(cell, 0, V - 1)
+    slot, n_empty = empty_slot_lookup(flags, safe_cell, ranks, slots=S)
+    keep = in_bounds & (ranks < n_empty)
+    flat = jnp.where(keep, slot * V + safe_cell, S * V)
+    return flat, keep
+
+
 def allocate_slots(particles, cell, ranks, valid, cfg=None):
     """Final flat pool position per candidate (``S*V`` sentinel when the
     voxel is full or the candidate invalid).  Returns ``(flat, keep)``.
     ``cfg`` is required when the pool is in its flat mid-frame form."""
     S, V = pool_sv(particles.flags, cfg)
-    in_bounds = valid & (cell < V)
-    safe_cell = jnp.clip(cell, 0, V - 1)
-    slot, n_empty = empty_slot_lookup(particles.flags, safe_cell, ranks,
-                                      slots=S)
-    keep = in_bounds & (ranks < n_empty)
-    flat = jnp.where(keep, slot * V + safe_cell, S * V)
-    return flat, keep
+    return _allocate_from_flags(particles.flags, cell, ranks, valid, S, V)
 
 
 def scatter_candidates(
@@ -239,42 +244,41 @@ def insert_particles(
 
     if compact_to is not None and compact_to < M:
         eligible = (sorted_dest < I32_MAX) & (ranks_sorted < S)
-        c_pos, c_valid, _, n_over = compact_mask(eligible, compact_to)
+        c_pos, c_valid, n_elig, n_over = compact_mask(eligible, compact_to)
 
-        def small(particles):
+        def small(sz):
             # One window-2 gather fetches (clamped dest, source index) per
             # compacted position; one 7-wide contiguous row gather fetches
             # the whole payload -- replacing five budget-sized gathers
             # (same per-row economics as common.pool_take_stacked; both
             # int lanes ride as exact f32 values < 2^24).
-            dest_v = jnp.minimum(sorted_dest, V).astype(jnp.float32)
-            pair = jnp.stack([dest_v, order.astype(jnp.float32)])  # [2, M]
-            got = jax.lax.gather(
-                pair, c_pos[:, None],
-                jax.lax.GatherDimensionNumbers(
-                    offset_dims=(1,), collapsed_slice_dims=(1,),
-                    start_index_map=(1,)),
-                slice_sizes=(2, 1),
-                mode=jax.lax.GatherScatterMode.CLIP,
-            )  # [compact_to, 2]
-            cell_c = jnp.where(c_valid, got[:, 0].astype(jnp.int32), V)
-            src = got[:, 1].astype(jnp.int32)
-            # compaction preserves sorted run order and keeps exactly the
-            # first min(S, count) of each run, so ranks recompute exactly
-            # from the compacted keys -- one fewer budget-sized gather
-            ranks_c = group_ranks(cell_c)
-            flat_c, _ = allocate_slots(particles, cell_c, ranks_c, c_valid,
-                                       cfg=cfg)
-            pay_c = payload[src]  # [compact_to, 7] contiguous rows
-            cols_c = tuple(pay_c[:, i] for i in range(7))
-            # (A second-level compaction on the post-allocation keep mask
-            # was measured a net REGRESSION here: realized born is 4-8k of
-            # the 16k eligible budget, so a quarter-width scatter budget
-            # overflowed every frame and the compaction+cond overhead was
-            # pure loss.  docs/PERF.md round-3 dead ends.)
-            return scatter_candidates(
-                particles, flat_c, cols_c, flag, t, None, cfg=cfg
-            )
+            def branch(particles):
+                dest_v = jnp.minimum(sorted_dest, V).astype(jnp.float32)
+                pair = jnp.stack([dest_v, order.astype(jnp.float32)])
+                got = jax.lax.gather(
+                    pair, c_pos[:sz, None],
+                    jax.lax.GatherDimensionNumbers(
+                        offset_dims=(1,), collapsed_slice_dims=(1,),
+                        start_index_map=(1,)),
+                    slice_sizes=(2, 1),
+                    mode=jax.lax.GatherScatterMode.CLIP,
+                )  # [sz, 2]
+                cell_c = jnp.where(c_valid[:sz],
+                                   got[:, 0].astype(jnp.int32), V)
+                src = got[:, 1].astype(jnp.int32)
+                # compaction preserves sorted run order and keeps exactly
+                # the first min(S, count) of each run, so ranks recompute
+                # exactly from the compacted keys -- one fewer budget-sized
+                # gather
+                ranks_c = group_ranks(cell_c)
+                flat_c, _ = allocate_slots(particles, cell_c, ranks_c,
+                                           c_valid[:sz], cfg=cfg)
+                pay_c = payload[src]  # [sz, 7] contiguous rows
+                cols_c = tuple(pay_c[:, i] for i in range(7))
+                return scatter_candidates(
+                    particles, flat_c, cols_c, flag, t, None, cfg=cfg
+                )
+            return branch
 
         def big(particles):
             ranks = (
@@ -288,7 +292,27 @@ def insert_particles(
             return scatter_candidates(particles, flat, cols, flag, t, None,
                                       cfg=cfg)
 
-        return jax.lax.cond(n_over == 0, small, big, particles)
+        # Prefix-bucket specialization (the static-prefix scatter lever,
+        # docs/ROADMAP.md section 2): compaction packs the eligible set into
+        # a prefix, so every budget-sized stage -- the payload gathers, the
+        # empty-slot rank selection, and the 8-9 pool-plane scatters (XLA
+        # TPU scatters cost a VMEM plane staging floor plus ~3-5 ns per
+        # index row INCLUDING dropped sentinels) -- runs at the smallest
+        # power-of-two bucket that holds the realized eligible count
+        # instead of the full budget.  Burst frames overflow to the exact
+        # full-size path.  (Two measured dead ends: a SECOND-level
+        # compaction on the post-allocation keep mask -- the extra
+        # compact + switch cost more than the smaller scatters saved, 10.3
+        # vs 8.8 ms/frame -- and splitting allocation and scatters into
+        # sequential switches with padded hand-off buffers, 9.0 vs 8.8.
+        # docs/PERF.md round-4.)
+        sizes = [compact_to]
+        while sizes[0] > 4096:
+            sizes.insert(0, sizes[0] // 2)
+        case = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_elig)
+        case = jnp.where(n_over > 0, len(sizes), case)
+        return jax.lax.switch(case, [small(s) for s in sizes] + [big],
+                              particles)
 
     ranks = (
         jnp.zeros((M,), jnp.int32).at[order].set(ranks_sorted,

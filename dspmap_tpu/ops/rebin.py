@@ -70,7 +70,6 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t, shard=None):
     # Vacate: movers and window leavers leave their source slots.
     flags = jnp.where(mover | moved_out, jnp.int32(0), particles.flags)
     vacated = dataclasses.replace(particles, flags=flags)
-    n_before = jnp.sum(vacated.valid)
 
     if shard is None:
         idx, cell, ranks, sel_valid, n_movers = compact_and_group(
@@ -84,7 +83,7 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t, shard=None):
             ),
             axis=-1,
         )
-        new_particles, _, _ = insert_sorted(
+        new_particles, _, ins_keep = insert_sorted(
             vacated, cfg,
             cell=cell, ranks=ranks, payload=payload, valid=sel_valid,
             flag=jnp.int32(1), t=t if cfg.record_particle_time else None,
@@ -119,7 +118,7 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t, shard=None):
             cell_local, own_ok
         )
         payload = jnp.stack([c[own_i][order] for c in a_cols], axis=-1)
-        new_particles, _, _ = insert_sorted(
+        new_particles, _, ins_keep = insert_sorted(
             vacated, cfg,
             cell=jnp.minimum(sorted_cell, V), ranks=ranks_sorted,
             payload=payload, valid=sorted_cell < V,
@@ -133,7 +132,8 @@ def rebin(particles, cfg: MapConfig, origin: jnp.ndarray, t, shard=None):
         "moved_out": jnp.sum(moved_out),
         "movers": n_kept,
         "mover_overflow_killed": over,
-        "voxel_full_killed": n_arrivals
-        - (jnp.sum(new_particles.valid) - n_before),
+        # insertion keep mask counts the landed arrivals exactly -- not a
+        # before/after pool-wide alive diff (two [S, V] reduces)
+        "voxel_full_killed": n_arrivals - jnp.sum(ins_keep),
     }
     return new_particles, stats
