@@ -236,8 +236,21 @@ class MapConfig:
         there; readouts gather through [voxel_num]-sized index tables) --
         they exist so the flat view of a pool plane is tile-aligned, which
         the DMA relayout kernels (ops/pallas/relayout.py) require for
-        their 1-D slice offsets.  Cost: <= 1023 dead voxels (< 1.4%%)."""
-        return _round_up(self.voxel_num, 1024)
+        their 1-D slice offsets.  Cost: <= 1023 dead voxels (< 1.4%%).
+
+        Huge maps additionally round up to a multiple of 65536 when that
+        costs < 4%% extra voxels: the relayout kernels' per-DMA transfer is
+        the largest 1024-multiple divisor of ``storage_voxels`` that fits
+        the (8, Vc) staging budget, and DMA issue overhead (~1-3 us each,
+        measured round 4) dominates their throughput -- a 65536-multiple
+        unlocks 256 KB transfers where an awkward factorization (e.g.
+        5400576 = 1024 * 2 * 3^2 * 293) caps them at 72 KB."""
+        base = _round_up(self.voxel_num, 1024)
+        big = _round_up(self.voxel_num, 65536)
+        plane_bytes = self.slots_per_voxel * base * 4
+        if plane_bytes >= (16 << 20) and big <= base * 1.04:
+            return big
+        return base
 
     @property
     def n_pyramids_h(self) -> int:
@@ -529,5 +542,9 @@ def large_urban(**overrides) -> MapConfig:
         # dense urban clouds put more particles in FOV than the default
         # street scenes; keep 2^16 headroom at this scale
         fov_capacity=1 << 16,
+        # At 54M slots the XLA sweep is VPU-bound on the toroidal index
+        # arithmetic (~12 ms of geometry+select fusions, round-4 trace);
+        # the fused Pallas sweep kernel measured 85.3 -> 81.5 ms/frame.
+        use_pallas_sweep=True,
     )
     return dataclasses.replace(cfg, **overrides).validate()

@@ -167,7 +167,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                     tags=ravel_plane(sw.tags),
                     new_cell=ravel_plane(sw.new_cell),
                 )
-                particles, fovbin, future_movers, fov_stats = (
+                particles, fovbin, future_movers, fov_stats, pending = (
                     rebin_and_register(
                         particles, cfg, sw, frame.sensor_pos, update_time,
                         shard=shard,
@@ -193,6 +193,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                     particles, cfg, frame.sensor_pos, frame.quat, k_fov, rt=rt
                 )
                 future_movers = None
+                pending = None
 
             # -- measurement update (dsp_dynamic.h:304,704-793) ---------
             particles, norm_coeff, upd_stats = measurement_update(
@@ -215,6 +216,7 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                 update_time=update_time,
                 shard=shard,
                 rt=rt,
+                pending=pending,
             )
 
             # -- occupancy + future + resample (dsp_dynamic.h:322,924) --
@@ -446,7 +448,9 @@ def read_occupancy(state: MapState, cfg: MapConfig, threshold: float = 0.7):
     occupied = weight > threshold
     wv = geometry.storage_to_world_voxel(state.origin, cfg)[gather]
     centers = geometry.voxel_center(wv, cfg)
-    future = state.future[gather]
+    # internal grid is horizon-major [T, V] (state.MapState.future); the
+    # public readout keeps the reference's [n, T] row order
+    future = state.future[:, gather].T
     new_state = dataclasses.replace(state, future=jnp.zeros_like(state.future))
     return occupied, centers, future, weight, new_state
 

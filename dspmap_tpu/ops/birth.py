@@ -54,6 +54,7 @@ def particle_birth(
     update_time,
     shard=None,  # common.ShardCtx inside the shard_map fast path
     rt=None,  # state.RuntimeParams: live-settable scalars (None -> cfg)
+    pending=None,  # deferred mover payload (huge pools; insert.scatter_candidates)
 ):
     """Returns ``(new_particles, stats)``.
 
@@ -127,6 +128,43 @@ def particle_birth(
         w_static_v = jnp.sum(jnp.where(l1 < 0.1, w_c, 0.0), axis=0)  # [V]
         w_mid_v = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_c, 0.0), axis=0)
         w_dyn_v = jnp.sum(jnp.where(l1 >= 0.5, w_c, 0.0), axis=0)
+    if pending is not None:
+        # Mover payload deferral (ops/fov.py, huge pools): the re-inserted
+        # movers' six pos/vel plane scatters ride THIS op's insert below, so
+        # the pool's velocity planes still hold the previous occupants'
+        # stale values at the deferred slots -- but their flags are 1 and
+        # their (post-update) weights are live, so the slot-axis reduce
+        # above classified their weight by the STALE L1 speed.  Three
+        # [M]->[V] scatter-adds move each deferred slot's weight from its
+        # stale class to its true one ([M] ~ mover capacity; vastly cheaper
+        # than the plane copies the deferral saves).  Float association
+        # differs from the direct sum by ~1e-7 relative -- same class of
+        # shift as any fusion re-association; the distributional parity
+        # suites are the gate.  Reference: classification includes moved
+        # particles with their true velocities (dsp_dynamic.h:827-866).
+        e_flat, e_cols = pending
+        assert particles.flags.ndim == 1  # deferral only on the flat path
+        e_ok = e_flat < S_pool * V_local
+        ef = jnp.where(e_ok, e_flat, 0)
+        e_cell = ef % V_local
+        w_p = jnp.where(e_ok, particles.weight[ef], 0.0)
+        stale_l1 = (
+            jnp.abs(particles.vx[ef])
+            + jnp.abs(particles.vy[ef])
+            + jnp.abs(particles.vz[ef])
+        )
+        true_l1 = jnp.abs(e_cols[3]) + jnp.abs(e_cols[4]) + jnp.abs(e_cols[5])
+
+        def cls_delta(lo, hi):
+            in_t = ((true_l1 >= lo) & (true_l1 < hi)).astype(jnp.float32)
+            in_s = ((stale_l1 >= lo) & (stale_l1 < hi)).astype(jnp.float32)
+            return w_p * (in_t - in_s)
+
+        inf = jnp.float32(jnp.inf)
+        w_static_v = w_static_v.at[e_cell].add(cls_delta(0.0, 0.1))
+        w_mid_v = w_mid_v.at[e_cell].add(cls_delta(0.1, 0.5))
+        w_dyn_v = w_dyn_v.at[e_cell].add(cls_delta(0.5, inf))
+
     w_static = jnp.where(owned, w_static_v[cell], 0.0)  # [P]
     w_mid = jnp.where(owned, w_mid_v[cell], 0.0)
     w_dyn = jnp.where(owned, w_dyn_v[cell], 0.0)
@@ -200,6 +238,7 @@ def particle_birth(
         t=update_time if cfg.record_particle_time else None,
         compact_to=cfg.birth_insert_budget,
         cell_base=0 if shard is None else shard.lo,
+        extra=pending,
     )
     stats = {
         "birth_candidates": jnp.sum(valid),

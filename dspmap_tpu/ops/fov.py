@@ -240,10 +240,13 @@ def rebin_and_register(
     cell exceeds the kill threshold -- same capacity bound, same
     conservation.
 
-    Returns ``(new_particles, FovBinning, future_movers, stats)`` where
-    ``future_movers = (flat[m_cap], valid[m_cap], n_dropped)`` is the
+    Returns ``(new_particles, FovBinning, future_movers, stats, pending)``
+    where ``future_movers = (flat[m_cap], valid[m_cap], n_dropped)`` is the
     compacted nonzero-velocity candidate set consumed by
-    ``occupancy_and_resample`` (saving its own pool-sized compaction).
+    ``occupancy_and_resample`` (saving its own pool-sized compaction) and
+    ``pending`` is the deferred mover payload for huge pools (None
+    otherwise) -- consumed by :func:`~.birth.particle_birth`, which merges
+    its plane scatters and corrects its DS classification for it.
 
     Shard_map fast path (``shard`` = :class:`~.common.ShardCtx`): the pool
     is this shard's slab and mover destinations are global, so the mover
@@ -357,11 +360,30 @@ def rebin_and_register(
                   a_vx[own_i], a_vy[own_i], a_vz[own_i], a_w[own_i])
         n_arrivals = jnp.minimum(n_own, m_cap)
 
-    new_particles = scatter_candidates(
-        vacated, new_flat, cols_m, jnp.int32(1),
-        update_time if cfg.record_particle_time else None,
-        cfg=cfg,
-    )
+    # Huge-pool scatter merging: XLA TPU scatter never updates its operand
+    # in place, so at >= 64 MB planes every scatter site pays a full plane
+    # copy per plane written (insert._DEFER_PAYLOAD_BYTES).  Defer the six
+    # pos/vel plane scatters to ride particle birth's scatter site (disjoint
+    # slots, one set of plane copies instead of two); flags+weight still
+    # scatter here (slot allocation reads flags, the measurement writeback
+    # reads/writes weight).  Below the threshold the merge loses (measured;
+    # see the dead-end log in docs/PERF.md).
+    from .insert import _DEFER_PAYLOAD_BYTES
+
+    defer = S * V * 4 >= _DEFER_PAYLOAD_BYTES
+    if defer:
+        new_particles, pending = scatter_candidates(
+            vacated, new_flat, cols_m, jnp.int32(1),
+            update_time if cfg.record_particle_time else None,
+            cfg=cfg, defer_payload=True,
+        )
+    else:
+        pending = None
+        new_particles = scatter_candidates(
+            vacated, new_flat, cols_m, jnp.int32(1),
+            update_time if cfg.record_particle_time else None,
+            cfg=cfg,
+        )
     # keep_ins marks exactly the candidates whose scatter lands (in-bounds
     # destination with a free slot), so the insertion count is a
     # buffer-sized reduce -- NOT a before/after pool-wide alive diff
@@ -441,4 +463,4 @@ def rebin_and_register(
         # weight but skip the measurement update this frame)
         fov_global_overflow=total_fov - jnp.sum(is_fov),
     )
-    return out, fovbin, future_movers, stats
+    return out, fovbin, future_movers, stats, pending

@@ -40,6 +40,17 @@ from .. import geometry
 from .common import (I32_MAX, compact_mask, group_ranks, pool_put, pool_sv,
                      sort_by_destination)
 
+#: pool planes at/above this size engage the mover-payload deferral
+#: (ops/fov.py): XLA TPU ``scatter`` never updates its operand in place
+#: (measured identical ~1.6 ms/plane copy cost straight-line, in a switch,
+#: and donated -- docs/PERF.md round 4), so at huge planes every scatter
+#: SITE pays a full plane copy per plane written and merging the mover
+#: re-insertion's six pos/vel scatters into particle birth's saves ~6 plane
+#: copies (~9 ms/frame at large_urban).  Below the threshold the copies are
+#: ~0.03 ms/plane and the merge measurably LOSES (extra index rows + lost
+#: 8-plane scatter fusion: 9.13 vs 8.77 ms on the flagship).
+_DEFER_PAYLOAD_BYTES = 64 << 20
+
 
 def empty_slot_lookup(flags, cell, ranks, slots: int | None = None):
     """Per candidate, the id of the ``ranks``-th empty slot of voxel ``cell``.
@@ -120,41 +131,69 @@ def allocate_slots(particles, cell, ranks, valid, cfg=None):
 
 def scatter_candidates(
     particles, flat, payload_cols, flag, t, compact_to: int | None = None,
-    cfg=None,
+    cfg=None, defer_payload: bool = False, extra=None,
 ):
     """Write candidate payloads at their allocated flat positions.
 
     ``payload_cols`` is a tuple ``(px, py, pz, vx, vy, vz, weight)`` of [M]
     arrays in the caller's candidate order (never permuted here).
+
+    Huge-pool scatter merging (see ``_DEFER_PAYLOAD_BYTES``):
+    ``defer_payload=True`` scatters only ``flags`` and ``weight`` (read
+    downstream: slot allocation reads flags, the measurement writeback
+    reads/writes weight) and returns ``(particles, pending)`` where
+    ``pending = (flat, cols[0:6])``; the birth-site call passes it back as
+    ``extra`` and the six pos/vel (+t) plane scatters run ONCE at the
+    concatenated width.  Slot sets are disjoint by construction (birth's
+    allocation sees the deferred slots' flags already set).  Birth's DS
+    classification reads the velocity planes in between and applies an
+    [M]-sized correction (ops/birth.py).
     """
     S, V = pool_sv(particles.flags, cfg)
     keep = flat < S * V
 
-    def scatter_all(particles, s_flat, cols):
+    def scatter_all(particles, s_flat, cols, extra=extra):
         # (row, col) scatters into the native [S, V] layout -- raveled
         # scatters paid a relayout copy pair per plane (pool_put).
+        if extra is not None:
+            e_flat, e_cols = extra
+            pv_flat = jnp.concatenate([s_flat, e_flat])
+            pv_cols = [jnp.concatenate([cols[k], e_cols[k]])
+                       for k in range(6)]
+        else:
+            pv_flat = s_flat
+            pv_cols = list(cols[:6])
+
         def scat(field, vals):
-            return pool_put(field, s_flat, vals)
+            return pool_put(field, pv_flat, vals)
 
         flags = pool_put(particles.flags, s_flat,
                          jnp.broadcast_to(jnp.int32(flag), s_flat.shape))
         # t is write-only state (cfg.record_particle_time); callers pass
         # t=None to skip the plane scatter entirely.
         tt = particles.t if t is None else pool_put(
-            particles.t, s_flat,
-            jnp.broadcast_to(jnp.float32(t), s_flat.shape))
+            particles.t, pv_flat,
+            jnp.broadcast_to(jnp.float32(t), pv_flat.shape))
         return dataclasses.replace(
             particles,
             flags=flags,
-            px=scat(particles.px, cols[0]),
-            py=scat(particles.py, cols[1]),
-            pz=scat(particles.pz, cols[2]),
-            vx=scat(particles.vx, cols[3]),
-            vy=scat(particles.vy, cols[4]),
-            vz=scat(particles.vz, cols[5]),
-            weight=scat(particles.weight, cols[6]),
+            px=scat(particles.px, pv_cols[0]),
+            py=scat(particles.py, pv_cols[1]),
+            pz=scat(particles.pz, pv_cols[2]),
+            vx=scat(particles.vx, pv_cols[3]),
+            vy=scat(particles.vy, pv_cols[4]),
+            vz=scat(particles.vz, pv_cols[5]),
+            weight=pool_put(particles.weight, s_flat, cols[6]),
             t=tt,
         )
+
+    if defer_payload:
+        assert compact_to is None and extra is None
+        flags = pool_put(particles.flags, flat,
+                         jnp.broadcast_to(jnp.int32(flag), flat.shape))
+        weight = pool_put(particles.weight, flat, payload_cols[6])
+        new = dataclasses.replace(particles, flags=flags, weight=weight)
+        return new, (flat, tuple(payload_cols[:6]))
 
     if compact_to is not None and compact_to < flat.shape[0]:
         # Bucket specialization: compacted scatter when survivors fit the
@@ -212,6 +251,7 @@ def insert_particles(
     t,
     compact_to: int | None = None,
     cell_base=0,
+    extra=None,
 ):
     """Insert unsorted candidates (ranks via a destination argsort).
 
@@ -276,7 +316,8 @@ def insert_particles(
                 pay_c = payload[src]  # [sz, 7] contiguous rows
                 cols_c = tuple(pay_c[:, i] for i in range(7))
                 return scatter_candidates(
-                    particles, flat_c, cols_c, flag, t, None, cfg=cfg
+                    particles, flat_c, cols_c, flag, t, None, cfg=cfg,
+                    extra=extra,
                 )
             return branch
 
@@ -290,7 +331,7 @@ def insert_particles(
                 particles, jnp.where(valid, dest, V), ranks, valid, cfg=cfg
             )
             return scatter_candidates(particles, flat, cols, flag, t, None,
-                                      cfg=cfg)
+                                      cfg=cfg, extra=extra)
 
         # Prefix-bucket specialization (the static-prefix scatter lever,
         # docs/ROADMAP.md section 2): compaction packs the eligible set into
@@ -322,4 +363,4 @@ def insert_particles(
         particles, jnp.where(valid, dest, V), ranks, valid, cfg=cfg
     )
     return scatter_candidates(particles, flat, cols, flag, t, compact_to,
-                              cfg=cfg)
+                              cfg=cfg, extra=extra)

@@ -131,7 +131,7 @@ def _pool_pass_xla(particles, cfg: MapConfig):
 
 def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
                            future_in, future_movers=None, shard=None):
-    """Returns ``(new_particles, weight_sum[V], vel_avg[V,3], future[V,T], stats)``.
+    """Returns ``(new_particles, weight_sum[V], vel_avg[V,3], future[T,V], stats)``.
 
     ``future_movers`` optionally supplies the pre-compacted
     nonzero-velocity candidate set from :func:`~..fov.rebin_and_register`
@@ -183,7 +183,8 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     )[:, None]
 
     # ---- future-status prediction (dsp_dynamic.h:950-964) --------------
-    future = future_in + static_contrib[:, None]
+    # Horizon-major [T, V] grid (see state.MapState.future).
+    future = future_in + static_contrib[None, :]
 
     # Mover buffers are small (<= mover_capacity = 8k), so separate gathers
     # beat a stacked row gather here: the pool-sized interleave pass cannot
@@ -232,15 +233,23 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     if shard is not None:
         ok = ok & shard.owns(cell, V)
         cell = cell - shard.lo
-    # one combined (row, col) scatter-add into the native [V, T] layout
-    # (a raveled scatter pays a relayout copy pair; see common.pool_put)
-    rows = jnp.where(ok, cell, V)  # [T, D]
-    cols = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], rows.shape
+    # One flat [T*V] scatter-add: the [T, V] grid linearizes row-major so
+    # ``t*V + cell`` is the native scatter index.  The conversion rides
+    # ravel_plane/unravel_plane -- a logical reshape at small scale, the
+    # DMA relayout kernels at large-map scale (XLA's own linearization of
+    # a 2-D scatter into a >VMEM grid relayouts it through a ~35 GB/s
+    # chunked loop; ~10 ms/frame at large_urban's 130 MB grid, round-4
+    # trace).  Duplicate (cell, horizon) hits accumulate, so no
+    # unique-indices hint.
+    from ..state import ravel_plane, unravel_plane
+
+    idx = jnp.where(
+        ok, cell + V * jnp.arange(T, dtype=jnp.int32)[:, None], T * V
+    )  # [T, D]
+    flat_future = ravel_plane(future).at[idx.ravel()].add(
+        jnp.broadcast_to(m_w[None, :], idx.shape).ravel(), mode="drop"
     )
-    future = future.at[rows, cols].add(
-        jnp.broadcast_to(m_w[None, :], rows.shape), mode="drop"
-    )
+    future = unravel_plane(flat_future, T)
 
     valid_in = particles.valid
     new_valid = new_particles.valid

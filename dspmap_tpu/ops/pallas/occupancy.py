@@ -205,7 +205,12 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
     is carried only when ``cfg.record_particle_time``.
     """
     S, V = particles.flags.shape
-    L = 2048 if S <= 32 else 1024
+    # Tile width by slot depth: the block pipeline holds ~20 [S, L] buffers
+    # double-buffered, so deep-slot pools need narrow tiles to fit VMEM;
+    # shallow pools take wider tiles to cut grid-step and DMA-issue
+    # overhead (~1-3 us per transfer, docs/PERF.md round 4 -- at
+    # large_urban's S=10 the L=2048 grid ran 2656 steps).
+    L = 4096 if S <= 16 else (2048 if S <= 32 else 1024)
     grid = (pl.cdiv(V, L),)
     with_t = bool(cfg.record_particle_time)
 

@@ -57,10 +57,10 @@ def state_shardings(mesh: Mesh, state: MapState) -> MapState:
     sharded along ``map``, everything else replicated."""
     def spec_for(leaf):
         shape = leaf.shape
-        # [S, V] particle fields
-        if len(shape) == 2 and shape == state.particles.weight.shape:
+        # [S, V] particle fields and the horizon-major [T, V] future grid
+        if len(shape) == 2 and shape[-1] == state.weight_sum.shape[0]:
             return P(None, MAP_AXIS)
-        # [V], [V, T], [V, 3] voxel aggregates
+        # [V], [V, 3] voxel aggregates
         if len(shape) >= 1 and shape[0] == state.weight_sum.shape[0]:
             return P(MAP_AXIS, *([None] * (len(shape) - 1)))
         return P()  # replicated scalars / estimator / rng

@@ -260,8 +260,14 @@ class MapState:
     #: per-voxel mean velocity of old particles (voxels_objects_number[:,1:4])
     vel_avg: jnp.ndarray  # f32 [V, 3]
     #: future-status accumulators (voxels_objects_number[:,4:]); cleared by
-    #: the occupancy readout exactly like the reference (dsp_dynamic.h:420-424)
-    future: jnp.ndarray  # f32 [V, T]
+    #: the occupancy readout exactly like the reference (dsp_dynamic.h:420-424).
+    #: Horizon-major [T, V]: the per-frame mover scatter then linearizes to a
+    #: native flat [T*V] scatter through state.ravel_plane (at large-map
+    #: scale the voxel-major [V, T] form made XLA relayout the whole
+    #: 100+ MB grid through its ~35 GB/s chunked loop around every scatter
+    #: -- ~10 ms/frame, round-4 trace).  Readouts transpose to the public
+    #: [n, T] order.
+    future: jnp.ndarray  # f32 [T, V]
     rng: jax.Array
     sensor_pos: jnp.ndarray  # f32 [3] (current_position, dsp_dynamic.h:131)
     last_sensor_pos: jnp.ndarray  # f32 [3]
@@ -321,7 +327,7 @@ def init_state(
         particles=particles,
         weight_sum=np.zeros((v,), np.float32),
         vel_avg=np.zeros((v, 3), np.float32),
-        future=np.zeros((v, cfg.n_horizons), np.float32),
+        future=np.zeros((cfg.n_horizons, v), np.float32),
         rng=key,
         sensor_pos=sensor_np,
         last_sensor_pos=sensor_np,

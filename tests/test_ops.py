@@ -281,10 +281,11 @@ def test_resample_matches_serial_oracle_mass_and_counts():
     )
     # future accumulators: static particles contribute their weight at every
     # horizon into their own voxel
-    fut = np.asarray(future)
+    fut = np.asarray(future)  # horizon-major [T, V]
     for c in cells:
         np.testing.assert_allclose(
-            fut[c], np.full(cfg.n_horizons, weights[:, c][flags[:, c] > 0].sum()),
+            fut[:, c],
+            np.full(cfg.n_horizons, weights[:, c][flags[:, c] > 0].sum()),
             rtol=1e-5,
         )
 

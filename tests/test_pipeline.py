@@ -77,6 +77,27 @@ def test_pipeline_builds_occupancy(preset):
     assert float(jnp.sum(state.future)) == 0.0
 
 
+def test_mover_payload_deferral_matches_direct(monkeypatch):
+    """The huge-pool mover-payload deferral (ops/fov.py: pos/vel plane
+    scatters merged into birth's scatter site, DS-classification corrected
+    by [M]-sized scatter-adds) matches the direct path.  Production engages
+    it at >= 64 MB planes; the threshold is lowered here to run it on the
+    tiny CPU pool.  Tolerances: the classification correction re-associates
+    float sums (~1e-7 relative); everything else is bit-exact."""
+    from dspmap_tpu.ops import insert as insert_mod
+
+    cfg = example_node_settings(dsp_dynamic(**small_cfg()))
+    _, direct = run_frames(cfg, n_frames=6)
+    monkeypatch.setattr(insert_mod, "_DEFER_PAYLOAD_BYTES", 0)
+    _, deferred = run_frames(cfg, n_frames=6)
+    for o_d, o_f in zip(direct, deferred):
+        np.testing.assert_allclose(
+            np.asarray(o_d.weight_sum), np.asarray(o_f.weight_sum),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert int(o_d.metrics["alive"]) == int(o_f.metrics["alive"])
+
+
 def test_frame_admission_control():
     cfg = example_node_settings(dsp_dynamic(**small_cfg()))
     state = init_state(cfg, jax.random.key(0))
