@@ -41,6 +41,11 @@ from .common import (compact_and_group, compact_mask, pool_put, pool_sv,
                      group_ranks, sort_by_destination)
 
 
+#: prefix-bucket specialization of the rebin candidate chain (see
+#: _rebin_chain); tests flip it off to compare against the full-width path.
+_FOV_BUCKETS = True
+
+
 class FovBinning(NamedTuple):
     """Dense + spill pyramid-binned view of the in-FOV particle population."""
 
@@ -265,7 +270,71 @@ def rebin_and_register(
     cap = cfg.fov_buffer_capacity
     m_cap = cfg.mover_capacity
 
-    idx, c_valid, n_sel, n_comb_over = compact_mask(sw.candidate, cap)
+    idx_f, c_valid_f, n_sel, n_comb_over = compact_mask(sw.candidate, cap)
+    total_movers = jnp.sum(sw.mover)
+    total_fov = jnp.sum(sw.fov)
+
+    # Vacate mover sources first, then fill (see ops/rebin.py docstring for
+    # the documented parallel-semantics deviation).
+    flags_vac = jnp.where(sw.mover, jnp.int32(0), particles.flags)
+    vacated = dataclasses.replace(particles, flags=flags_vac)
+
+    return _rebin_chain(
+        particles, vacated, cfg, sw, sensor_pos, update_time, shard,
+        idx_f, c_valid_f, n_sel, n_comb_over, total_movers, total_fov,
+        allocate_slots, scatter_candidates,
+    )
+
+
+def _rebin_chain(particles, vacated, cfg, sw, sensor_pos, update_time,
+                 shard, idx_f, c_valid_f, n_sel, n_comb_over,
+                 total_movers, total_fov, allocate_slots,
+                 scatter_candidates):
+    """Candidate-buffer chain of :func:`rebin_and_register`, prefix-bucket
+    specialized (shard-less path): every capacity-sized stage -- the 5-plane
+    stacked gather, the FOV grouping sort, the rank scatters and the dense
+    binning scatter -- runs at the smallest power-of-two bucket holding the
+    realized candidate count instead of the full ``fov_buffer_capacity``
+    (steady-state counts sit at ~1/3 of capacity; same lever as the birth
+    insert's bucket switch, ops/insert.py)."""
+    S, V = pool_sv(particles.flags, cfg)
+    n_pyr = cfg.n_pyramids
+    cap = cfg.fov_buffer_capacity
+    m_cap = cfg.mover_capacity
+
+    def chain(idx, c_valid, n_cand):
+        return _rebin_chain_body(
+            particles, vacated, cfg, sw, sensor_pos, update_time, shard,
+            idx, c_valid, n_comb_over, total_movers, total_fov,
+            allocate_slots, scatter_candidates, n_cand,
+        )
+
+    sizes = [cap]
+    while sizes[0] > (4096 if _FOV_BUCKETS else cap):
+        sizes.insert(0, sizes[0] // 2)
+    if shard is not None or len(sizes) == 1:
+        return chain(idx_f, c_valid_f, cap)
+    case = jnp.minimum(
+        jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_sel),
+        len(sizes) - 1,
+    )
+    return jax.lax.switch(
+        case,
+        [lambda _, bs=bs: chain(idx_f[:bs], c_valid_f[:bs], bs)
+         for bs in sizes],
+        0,
+    )
+
+
+def _rebin_chain_body(particles, vacated, cfg, sw, sensor_pos, update_time,
+                      shard, idx, c_valid, n_comb_over, total_movers,
+                      total_fov, allocate_slots, scatter_candidates,
+                      n_cand_cap):
+    S, V = pool_sv(particles.flags, cfg)
+    n_pyr = cfg.n_pyramids
+    cap = n_cand_cap  # bucket width of the candidate buffer
+    m_cap = cfg.mover_capacity
+
     # One window gather over a 5-plane stack: the per-row cost is paid once
     # for all five fields (vs five pair gathers at ~11 ns/row each;
     # common.pool_take_stacked).  compact_mask output is ascending, so the
@@ -280,9 +349,6 @@ def rebin_and_register(
     pyr = tags >> 4
     flat0 = jnp.where(c_valid, idx, S * V)
 
-    total_movers = jnp.sum(sw.mover)
-    total_fov = jnp.sum(sw.fov)
-
     # ---- movers: compact to the mover buffer and re-insert -------------
     # The destination cell is only consumed by the (much smaller) mover
     # buffer, so the ``new_cell`` plane is gathered at mover size rather
@@ -292,11 +358,6 @@ def rebin_and_register(
     mov_i, mov_ok, n_mov, mov_buf_over = compact_mask(is_mover, m_cap)
     mov_src = jnp.minimum(flat0[mov_i], S * V - 1)
     mov_cell = jnp.where(mov_ok, pool_take(sw.new_cell, mov_src), V)
-
-    # Vacate mover sources first, then fill (see ops/rebin.py docstring for
-    # the documented parallel-semantics deviation).
-    flags_vac = jnp.where(sw.mover, jnp.int32(0), particles.flags)
-    vacated = dataclasses.replace(particles, flags=flags_vac)
 
     if shard is None:
         order, _, ranks_sorted = sort_by_destination(mov_cell, mov_ok)

@@ -98,6 +98,29 @@ def test_mover_payload_deferral_matches_direct(monkeypatch):
         assert int(o_d.metrics["alive"]) == int(o_f.metrics["alive"])
 
 
+def test_fov_bucket_switch_matches_full(monkeypatch):
+    """The rebin candidate chain's prefix-bucket switch (ops/fov.py
+    _rebin_chain) is bit-exact vs the full-capacity path: compaction packs
+    candidates into a prefix, so a bucket that holds the realized count
+    sees the identical candidate set."""
+    from dspmap_tpu.ops import fov as fov_mod
+
+    cfg = example_node_settings(
+        dsp_dynamic(**small_cfg(fov_capacity=16384))
+    )
+    s_b, bucketed = run_frames(cfg, n_frames=5)
+    monkeypatch.setattr(fov_mod, "_FOV_BUCKETS", False)
+    s_f, full = run_frames(cfg, n_frames=5)
+    for o_b, o_f in zip(bucketed, full):
+        np.testing.assert_array_equal(
+            np.asarray(o_b.weight_sum), np.asarray(o_f.weight_sum)
+        )
+        assert int(o_b.metrics["alive"]) == int(o_f.metrics["alive"])
+        assert int(o_b.metrics["in_fov"]) == int(o_f.metrics["in_fov"])
+    for a, b in zip(jax.tree.leaves(s_b.particles), jax.tree.leaves(s_f.particles)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_frame_admission_control():
     cfg = example_node_settings(dsp_dynamic(**small_cfg()))
     state = init_state(cfg, jax.random.key(0))
