@@ -136,10 +136,12 @@ def pool_take_stacked(planes, flat: jnp.ndarray):
     if planes[0].ndim == 1:
         # FLAT pool planes: one [F, S*V] stack + (F, 1) window gather.
         n = planes[0].shape[0]
-        if n * 4 * len(planes) >= (256 << 20):
-            # Huge-pool opt-out (mirrors the 2-D branch below): the stack
-            # copy scales with the pool (~1 GB at large_urban) while flat
-            # pair gathers are already native 1-D -- no relayout to save.
+        if n * 4 * len(planes) >= (256 << 20) or flat.shape[0] < 16384:
+            # Opt-outs: the stack copy scales with the POOL, so it loses
+            # when the pool is huge (~1 GB at large_urban) or the row count
+            # is small (prefix buckets: F separate ~5 ns/row 1-D gathers
+            # undercut a plane-sized stack below ~16k rows; same economics
+            # as the 2-D branch's small-buffer revert, docs/PERF.md).
             return [pool_take(p, jnp.clip(flat, 0, n - 1)) for p in planes]
         f32 = [
             p if p.dtype == jnp.float32 else p.astype(jnp.float32)
