@@ -166,16 +166,16 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     if use_pallas:
         from .pallas.occupancy import occupancy_pool_pass
 
-        fields, weight_sum, n_old, vel_sums, static_contrib, moving = (
-            occupancy_pool_pass(
-                particles, cfg, with_moving=future_movers is None
-            )
+        (fields, weight_sum, n_old, vel_sums, static_contrib, moving,
+         counters) = occupancy_pool_pass(
+            particles, cfg, with_moving=future_movers is None
         )
         new_particles = dataclasses.replace(particles, **fields)
     else:
         new_particles, weight_sum, n_old, vel_sums, static_contrib, moving = (
             _pool_pass_xla(particles, cfg)
         )
+        counters = None
 
     denom = jnp.maximum(n_old, 1.0)
     vel_avg = jnp.stack([s / denom for s in vel_sums], axis=-1) * (
@@ -251,21 +251,38 @@ def occupancy_and_resample(particles, cfg: MapConfig, origin: jnp.ndarray,
     )
     future = unravel_plane(flat_future, T)
 
-    valid_in = particles.valid
-    new_valid = new_particles.valid
-    culled = jnp.sum(
-        valid_in & (particles.weight < cfg.weight_cull_threshold)
-    )
-    survivor = valid_in & (particles.weight >= cfg.weight_cull_threshold)
-    stats = {
-        "alive": jnp.sum(new_valid),
-        "culled": culled,
-        "resampled_voxels": jnp.sum(
-            jnp.sum(survivor, axis=0) >= cfg.resample_min_count
-        ),
-        "resample_dropped": jnp.sum(survivor & ~new_valid),
-        "resample_copies": jnp.sum(~survivor & new_valid),
-        "future_moving": n_moving,
-        "future_overflow": n_overflow,
-    }
+    if counters is not None:
+        # Per-voxel counters emitted by the Pallas kernel from its in-VMEM
+        # masks -- the mask-based forms below would re-read the pool planes
+        # (~2 ms/frame at large_urban; round-4 trace).
+        n_valid_v, n_culled_v, do_rs_v, n_dropped_v, n_filled_v = counters
+        stats = {
+            "alive": jnp.sum(
+                n_valid_v - n_dropped_v + n_filled_v
+            ).astype(jnp.int32),
+            "culled": jnp.sum(n_culled_v).astype(jnp.int32),
+            "resampled_voxels": jnp.sum(do_rs_v).astype(jnp.int32),
+            "resample_dropped": jnp.sum(n_dropped_v).astype(jnp.int32),
+            "resample_copies": jnp.sum(n_filled_v).astype(jnp.int32),
+            "future_moving": n_moving,
+            "future_overflow": n_overflow,
+        }
+    else:
+        valid_in = particles.valid
+        new_valid = new_particles.valid
+        culled = jnp.sum(
+            valid_in & (particles.weight < cfg.weight_cull_threshold)
+        )
+        survivor = valid_in & (particles.weight >= cfg.weight_cull_threshold)
+        stats = {
+            "alive": jnp.sum(new_valid),
+            "culled": culled,
+            "resampled_voxels": jnp.sum(
+                jnp.sum(survivor, axis=0) >= cfg.resample_min_count
+            ),
+            "resample_dropped": jnp.sum(survivor & ~new_valid),
+            "resample_copies": jnp.sum(~survivor & new_valid),
+            "future_moving": n_moving,
+            "future_overflow": n_overflow,
+        }
     return new_particles, weight_sum, vel_avg, future, stats

@@ -48,7 +48,9 @@ def _kernel(*refs, cfg: MapConfig, S: int, V: int, with_t: bool,
     k += with_t
     omoving_ref = outs[k] if with_moving else None
     k += with_moving
-    ows_ref, onold_ref, ovsx_ref, ovsy_ref, ovsz_ref, ostatic_ref = outs[k:]
+    (ows_ref, onold_ref, ovsx_ref, ovsy_ref, ovsz_ref, ostatic_ref,
+     onvalid_ref, onculled_ref, odors_ref, ondropped_ref,
+     onfilled_ref) = outs[k:]
     # flag logic in i32: the VPU has no 8-bit equality compare
     flags = flags_ref[...].astype(jnp.int32)
     w = w_ref[...]
@@ -75,9 +77,17 @@ def _kernel(*refs, cfg: MapConfig, S: int, V: int, with_t: bool,
     if with_moving:
         omoving_ref[...] = moving
 
+    # Per-voxel stats counters (metrics surface): computed here from the
+    # in-VMEM masks so the caller's stats dict never re-reads the pool
+    # planes (those re-reads were ~2 ms/frame at large_urban's 216 MB
+    # planes; round-4 trace at ops/occupancy.py:247,257).
+    onvalid_ref[...] = jnp.sum(fvalid, axis=0)
+    onculled_ref[...] = jnp.sum(cull.astype(jnp.float32), axis=0)
+
     # ---- systematic resampling (dsp_dynamic.h:986-1055) ----------------
     count = jnp.sum(fvalid, axis=0)
     do_rs = count >= cfg.resample_min_count
+    odors_ref[...] = do_rs.astype(jnp.float32)
 
     pairs = [(px_ref, opx_ref), (py_ref, opy_ref), (pz_ref, opz_ref),
              (vx_ref, ovx_ref), (vy_ref, ovy_ref), (vz_ref, ovz_ref)]
@@ -166,6 +176,16 @@ def _kernel(*refs, cfg: MapConfig, S: int, V: int, with_t: bool,
         oflags_ref[...] = new_flags.astype(jnp.int32)
         ow_ref[...] = new_w
 
+        # Stats-surface set semantics (ops/occupancy.py): a dropped slot
+        # REFILLED by a copy ends alive, so it counts in neither
+        # "resample_dropped" (survivor & ~new_valid) nor "resample_copies"
+        # (~survivor & new_valid); both adjust by the same intersection, so
+        # alive = n_valid - n_dropped + n_filled still holds.
+        ondropped_ref[...] = jnp.sum(
+            (dropped & ~filled).astype(jnp.float32), axis=0)
+        onfilled_ref[...] = jnp.sum(
+            (filled & ~valid).astype(jnp.float32), axis=0)
+
         # One placement loop for all planes: the (src_idx == j) compare is
         # shared across the 6-7 copied fields instead of recomputed per plane
         # (the kernel is VPU-bound on exactly these selects; docs/PERF.md).
@@ -186,6 +206,8 @@ def _kernel(*refs, cfg: MapConfig, S: int, V: int, with_t: bool,
         base_flags = jnp.where(cull, 0, flags)
         oflags_ref[...] = jnp.where(valid, 1, base_flags).astype(jnp.int32)
         ow_ref[...] = w
+        ondropped_ref[...] = jnp.zeros_like(count)
+        onfilled_ref[...] = jnp.zeros_like(count)
         for f_ref, o_ref in pairs:
             o_ref[...] = f_ref[...]
 
@@ -198,8 +220,10 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
     """One-pass cull + aggregates + resample over the pool.
 
     Returns ``(new_fields dict, weight_sum[V], n_old[V], vel_sums[V,3],
-    static_contrib[V], moving[S, V] | None)`` -- the caller
-    (ops/occupancy.py) derives vel_avg, the future grids and the stats.
+    static_contrib[V], moving[S, V] | None, counters)`` where ``counters =
+    (n_valid, n_culled, do_rs, n_dropped, n_filled)`` are per-voxel [V]
+    stats vectors -- the caller (ops/occupancy.py) derives vel_avg, the
+    future grids and the stats dict without re-reading the pool planes.
     ``with_moving=False`` elides the [S, V] moving-mask output (callers with
     a pre-compacted future-mover set never read it); the particle-time plane
     is carried only when ``cfg.record_particle_time``.
@@ -226,7 +250,7 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
         + [jax.ShapeDtypeStruct((S, V), jnp.float32)
            for _ in range(n_planes - 1)]
         + ([jax.ShapeDtypeStruct((S, V), jnp.bool_)] if with_moving else [])
-        + [jax.ShapeDtypeStruct((V,), jnp.float32) for _ in range(6)]
+        + [jax.ShapeDtypeStruct((V,), jnp.float32) for _ in range(11)]
     )
     operands = [particles.flags, particles.weight, particles.px, particles.py,
                 particles.pz, particles.vx, particles.vy, particles.vz]
@@ -240,7 +264,7 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
         in_specs=[bspec() for _ in range(n_planes)],
         out_specs=(
             [bspec() for _ in range(n_planes + with_moving)]
-            + [vspec() for _ in range(6)]
+            + [vspec() for _ in range(11)]
         ),
         out_shape=out_shape,
         interpret=interpret,
@@ -251,7 +275,10 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
     k += with_t
     moving = outs[k] if with_moving else None
     k += with_moving
-    ws, n_old, vsx, vsy, vsz, static_contrib = outs[k:]
+    (ws, n_old, vsx, vsy, vsz, static_contrib,
+     n_valid, n_culled, do_rs, n_dropped, n_filled) = outs[k:]
     fields = dict(flags=flags, weight=w, px=px, py=py, pz=pz,
                   vx=vx, vy=vy, vz=vz, t=t)
-    return fields, ws, n_old, (vsx, vsy, vsz), static_contrib, moving
+    counters = (n_valid, n_culled, do_rs, n_dropped, n_filled)
+    return (fields, ws, n_old, (vsx, vsy, vsz), static_contrib, moving,
+            counters)

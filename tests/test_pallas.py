@@ -96,9 +96,23 @@ def test_occupancy_kernel_matches_xla(safety):
         t=jnp.asarray(rng.uniform(0, 5, (S, V)), jnp.float32),
     )
     ref, ws_r, n_old_r, vsum_r, static_r, moving_r = _pool_pass_xla(p, cfg)
-    fields, ws, n_old, vsum, static_c, moving = occupancy_pool_pass(
-        p, cfg, interpret=True
+    (fields, ws, n_old, vsum, static_c, moving,
+     counters) = occupancy_pool_pass(p, cfg, interpret=True)
+    # kernel-emitted stats counters match the mask-derived forms
+    valid_in = flags != 0
+    survivor = valid_in & (weights >= cfg.weight_cull_threshold)
+    new_valid = np.asarray(ref.flags) != 0
+    n_valid_v, n_culled_v, do_rs_v, n_dropped_v, n_filled_v = map(
+        np.asarray, counters
     )
+    assert n_valid_v.sum() == survivor.sum()
+    assert n_culled_v.sum() == (valid_in & ~survivor).sum()
+    assert do_rs_v.sum() == (
+        survivor.sum(axis=0) >= cfg.resample_min_count
+    ).sum()
+    assert n_dropped_v.sum() == (survivor & ~new_valid).sum()
+    assert n_filled_v.sum() == (~survivor & new_valid).sum()
+    assert (n_valid_v - n_dropped_v + n_filled_v).sum() == new_valid.sum()
     np.testing.assert_array_equal(np.asarray(fields["flags"]),
                                   np.asarray(ref.flags))
     np.testing.assert_allclose(np.asarray(fields["weight"]),
@@ -171,9 +185,8 @@ def test_occupancy_kernel_skip_branch(scenario):
         t=jnp.asarray(rng.uniform(0, 5, (S, V)), jnp.float32),
     )
     ref, ws_r, n_old_r, vsum_r, static_r, moving_r = _pool_pass_xla(p, cfg)
-    fields, ws, n_old, vsum, static_c, moving = occupancy_pool_pass(
-        p, cfg, interpret=True
-    )
+    (fields, ws, n_old, vsum, static_c, moving,
+     _counters) = occupancy_pool_pass(p, cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(fields["flags"]),
                                   np.asarray(ref.flags))
     np.testing.assert_allclose(np.asarray(fields["weight"]),
