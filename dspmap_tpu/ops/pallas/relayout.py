@@ -60,26 +60,35 @@ def _to_flat_kernel(in_ref, out_hbm, scratch, sems, *, S, V, Vc):
     full = S // 8
 
     def emit(n_rows):
-        # wait for the DMAs still in flight on the slot we are reusing
-        @pl.when(step >= 2)
-        def _():
-            for r in range(8):
+        # Per-row wait -> stage -> start: row r's outbound DMA launches
+        # while row r+1 still waits on its slot, instead of the serial
+        # wait-all / stage-all / start-all hump (measured ~375 GB/s at
+        # large_urban; the humps left the DMA engines idle between steps).
+        for r in range(n_rows):
+            @pl.when(step >= 2)
+            def _(r=r):
                 pltpu.make_async_copy(
                     scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
                     scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
                     sems.at[slot * 8 + r],
                 ).wait()
-        for r in range(n_rows):
             scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)] = in_ref[r, :]
-        for r in range(n_rows):
             pltpu.make_async_copy(
                 scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
                 out_hbm.at[pl.ds((8 * g + r) * V + j * Vc, Vc)],
                 sems.at[slot * 8 + r],
             ).start()
         # rows beyond n_rows on this slot: self-copy so the final drain's
-        # unconditional waits always have a matching signal
+        # unconditional waits always have a matching signal (their slot-
+        # reuse wait must still happen first -- same per-row discipline)
         for r in range(n_rows, 8):
+            @pl.when(step >= 2)
+            def _(r=r):
+                pltpu.make_async_copy(
+                    scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                    scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                    sems.at[slot * 8 + r],
+                ).wait()
             pltpu.make_async_copy(
                 scratch.at[pl.ds(slot * 8 * Vc, Vc)],
                 scratch.at[pl.ds(slot * 8 * Vc, Vc)],
@@ -140,30 +149,33 @@ def _from_flat_kernel(in_hbm, out_ref, scratch, sems, *, S, V, Vc):
     def _():
         issue(step + 1, (step + 1) % 2)
 
-    for r in range(8):
-        pltpu.make_async_copy(
-            scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
-            scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
-            sems.at[slot * 8 + r],
-        ).wait()
     n_rows = 8 if S % 8 == 0 else None
     if n_rows == 8:
+        # per-row wait -> copy (see _to_flat_kernel's emit note)
         for r in range(8):
+            pltpu.make_async_copy(
+                scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                sems.at[slot * 8 + r],
+            ).wait()
             out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)]
     else:
         full = S // 8
+        for r in range(8):
+            pltpu.make_async_copy(
+                scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                scratch.at[pl.ds(slot * 8 * Vc + r * Vc, Vc)],
+                sems.at[slot * 8 + r],
+            ).wait()
 
-        @pl.when(g < full)
-        def _():
-            for r in range(8):
+            @pl.when(g < full)
+            def _(r=r):
                 out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)]
 
-        @pl.when(g == full)
-        def _():
-            for r in range(S % 8):
-                out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc + r * Vc, Vc)]
-            for r in range(S % 8, 8):
-                out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc, Vc)]
+            @pl.when(g == full)
+            def _(r=r):
+                src = r if r < S % 8 else 0
+                out_ref[r, :] = scratch[pl.ds(slot * 8 * Vc + src * Vc, Vc)]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
