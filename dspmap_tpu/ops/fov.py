@@ -64,12 +64,16 @@ class FovBinning(NamedTuple):
 
 
 def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
-                    ranks, sel_valid, n_fov, cols=None):
+                    ranks, sel_valid, n_fov, cols=None, apply_kill=True):
     """Shared two-tier binning: dense scatter + spill compaction + overflow
     kill flags, from the compacted (pyramid-sorted) candidate buffers.
 
     ``cols`` optionally supplies pre-gathered ``(px, py, pz, weight)``
-    candidate columns (callers that already paid the pool gathers)."""
+    candidate columns (callers that already paid the pool gathers).
+    ``apply_kill=False`` skips the kill flags scatter -- the caller merged
+    the kill rows into an adjacent flags-plane write (rebin's mover
+    scatter; one plane copy instead of two); the kill mask is still
+    computed here for the stats."""
     S, V = pool_sv(particles.flags, cfg)
     n_pyr, s_pyr, S_t = cfg.n_pyramids, cfg.pyramid_slots, cfg.dense_slots
     f_cap, p_cap = cfg.fov_buffer_capacity, cfg.particle_spill_capacity
@@ -80,9 +84,12 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
     kill = sel_valid & (ranks >= s_pyr)  # pyramid-cell overflow -> vanish
 
     # Kill overflow particles (dsp_dynamic.h:1256-1259).
-    kill_flat = jnp.where(kill, idx, S * V)
-    flags = pool_put(particles.flags, kill_flat,
-                     jnp.broadcast_to(jnp.int32(0), kill_flat.shape))
+    if apply_kill:
+        kill_flat = jnp.where(kill, idx, S * V)
+        flags = pool_put(particles.flags, kill_flat,
+                         jnp.broadcast_to(jnp.int32(0), kill_flat.shape))
+    else:
+        flags = particles.flags
 
     if cols is None:
         px = pool_take(particles.px, idx)
@@ -432,29 +439,16 @@ def _rebin_chain_body(particles, vacated, cfg, sw, sensor_pos, update_time,
     from .insert import _DEFER_PAYLOAD_BYTES
 
     defer = S * V * 4 >= _DEFER_PAYLOAD_BYTES
-    if defer:
-        new_particles, pending = scatter_candidates(
-            vacated, new_flat, cols_m, jnp.int32(1),
-            update_time if cfg.record_particle_time else None,
-            cfg=cfg, defer_payload=True,
-        )
-    else:
-        pending = None
-        new_particles = scatter_candidates(
-            vacated, new_flat, cols_m, jnp.int32(1),
-            update_time if cfg.record_particle_time else None,
-            cfg=cfg,
-        )
-    # keep_ins marks exactly the candidates whose scatter lands (in-bounds
-    # destination with a free slot), so the insertion count is a
-    # buffer-sized reduce -- NOT a before/after pool-wide alive diff
-    # (two [S, V] reduces, ~0.37 ms/frame; round-4 trace).
-    n_inserted = jnp.sum(keep_ins)
 
     # ---- FOV registration from the combined buffer ---------------------
     if shard is None:
         # Remap relocated movers to their new flat slots; voxel-full-killed
-        # movers get the sentinel and drop out of the FOV set.
+        # movers get the sentinel and drop out of the FOV set.  The FOV
+        # grouping runs BEFORE the mover scatter (it depends only on the
+        # allocation), so the pyramid-overflow kill rows merge INTO the
+        # mover flags scatter: one flags-plane write per frame instead of
+        # two (each write copies the whole plane -- the round-4 scatter
+        # finding; ~1.6 ms at large_urban).
         flat = flat0.at[jnp.where(mov_ok, mov_i, cap)].set(
             jnp.where(keep_ins, new_flat, S * V), mode="drop"
         )
@@ -462,7 +456,51 @@ def _rebin_chain_body(particles, vacated, cfg, sw, sensor_pos, update_time,
         cand_pyr, cand_px, cand_py, cand_pz, cand_w = pyr, px, py, pz, w
         mv_sel = is_moving & (flat < S * V)
         n_cand = cap
+
+        keys = jnp.where(fov_sel, cand_pyr, n_pyr)
+        sorted_keys, f_order = jax.lax.sort(
+            (keys, jnp.arange(n_cand, dtype=jnp.int32)), is_stable=True,
+            num_keys=1,
+        )
+        f_ranks_sorted = group_ranks(sorted_keys)
+        f_ranks = (
+            jnp.zeros((n_cand,), jnp.int32).at[f_order].set(
+                f_ranks_sorted, unique_indices=True)
+        )
+        kill = fov_sel & (f_ranks >= cfg.pyramid_slots)
+        # movers in the kill set write 0 through their own scatter row;
+        # non-mover kill rows concatenate into the same flags scatter
+        # (disjoint by construction)
+        killed_m = kill[jnp.minimum(mov_i, cap - 1)] & mov_ok
+        mov_flag = jnp.where(killed_m, 0, 1).astype(jnp.int32)
+        kill_nm = jnp.where(kill & ~is_mover, flat, S * V)
+        flag_extra = (kill_nm, jnp.zeros((n_cand,), jnp.int32))
+        apply_kill = False
     else:
+        mov_flag = jnp.int32(1)
+        flag_extra = None
+        apply_kill = True
+
+    if defer:
+        new_particles, pending = scatter_candidates(
+            vacated, new_flat, cols_m, mov_flag,
+            update_time if cfg.record_particle_time else None,
+            cfg=cfg, defer_payload=True, flag_extra=flag_extra,
+        )
+    else:
+        pending = None
+        new_particles = scatter_candidates(
+            vacated, new_flat, cols_m, mov_flag,
+            update_time if cfg.record_particle_time else None,
+            cfg=cfg, flag_extra=flag_extra,
+        )
+    # keep_ins marks exactly the candidates whose scatter lands (in-bounds
+    # destination with a free slot), so the insertion count is a
+    # buffer-sized reduce -- NOT a before/after pool-wide alive diff
+    # (two [S, V] reduces, ~0.37 ms/frame; round-4 trace).
+    n_inserted = jnp.sum(keep_ins)
+
+    if shard is not None:
         # Local non-mover candidates plus this shard's inserted arrivals
         # (their fov/moving bits and pyramid cell rode the exchange).
         ins_fov = ((ins_tags >> 1) & 1) != 0
@@ -482,21 +520,22 @@ def _rebin_chain_body(particles, vacated, cfg, sw, sensor_pos, update_time,
         mv_sel = mv_sel & (flat < S * V)
         n_cand = cap + m_cap
 
-    keys = jnp.where(fov_sel, cand_pyr, n_pyr)
-    sorted_keys, f_order = jax.lax.sort(
-        (keys, jnp.arange(n_cand, dtype=jnp.int32)), is_stable=True,
-        num_keys=1,
-    )
-    f_ranks_sorted = group_ranks(sorted_keys)
-    f_ranks = (
-        jnp.zeros((n_cand,), jnp.int32).at[f_order].set(f_ranks_sorted,
-                                                        unique_indices=True)
-    )
+        keys = jnp.where(fov_sel, cand_pyr, n_pyr)
+        sorted_keys, f_order = jax.lax.sort(
+            (keys, jnp.arange(n_cand, dtype=jnp.int32)), is_stable=True,
+            num_keys=1,
+        )
+        f_ranks_sorted = group_ranks(sorted_keys)
+        f_ranks = (
+            jnp.zeros((n_cand,), jnp.int32).at[f_order].set(
+                f_ranks_sorted, unique_indices=True)
+        )
 
     bin_flags, fovbin, stats = _bin_candidates(
         new_particles, cfg, sensor_pos, flat,
         keys, f_ranks, fov_sel,
         total_fov, cols=(cand_px, cand_py, cand_pz, cand_w),
+        apply_kill=apply_kill,
     )
     out = dataclasses.replace(new_particles, flags=bin_flags)
 

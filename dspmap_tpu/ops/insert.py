@@ -131,12 +131,20 @@ def allocate_slots(particles, cell, ranks, valid, cfg=None):
 
 def scatter_candidates(
     particles, flat, payload_cols, flag, t, compact_to: int | None = None,
-    cfg=None, defer_payload: bool = False, extra=None,
+    cfg=None, defer_payload: bool = False, extra=None, flag_extra=None,
 ):
     """Write candidate payloads at their allocated flat positions.
 
     ``payload_cols`` is a tuple ``(px, py, pz, vx, vy, vz, weight)`` of [M]
     arrays in the caller's candidate order (never permuted here).
+
+    ``flag`` may be a scalar or a per-candidate [M] array (e.g. movers
+    killed by pyramid overflow write 0 directly).  ``flag_extra =
+    (idx, vals)`` concatenates additional rows into the flags scatter only
+    -- merging an adjacent flags-plane write (the rebin kill scatter) into
+    this site's, which saves one full plane copy per frame (XLA TPU
+    scatter never aliases; ~1.6 ms/plane at large_urban).  Callers
+    guarantee the merged index sets are disjoint.
 
     Huge-pool scatter merging (see ``_DEFER_PAYLOAD_BYTES``):
     ``defer_payload=True`` scatters only ``flags`` and ``weight`` (read
@@ -151,6 +159,13 @@ def scatter_candidates(
     """
     S, V = pool_sv(particles.flags, cfg)
     keep = flat < S * V
+
+    def flags_scatter(flags_plane, s_flat):
+        vals = jnp.broadcast_to(jnp.asarray(flag, jnp.int32), s_flat.shape)
+        if flag_extra is not None:
+            s_flat = jnp.concatenate([s_flat, flag_extra[0]])
+            vals = jnp.concatenate([vals, flag_extra[1]])
+        return pool_put(flags_plane, s_flat, vals)
 
     def scatter_all(particles, s_flat, cols, extra=extra):
         # (row, col) scatters into the native [S, V] layout -- raveled
@@ -167,8 +182,7 @@ def scatter_candidates(
         def scat(field, vals):
             return pool_put(field, pv_flat, vals)
 
-        flags = pool_put(particles.flags, s_flat,
-                         jnp.broadcast_to(jnp.int32(flag), s_flat.shape))
+        flags = flags_scatter(particles.flags, s_flat)
         # t is write-only state (cfg.record_particle_time); callers pass
         # t=None to skip the plane scatter entirely.
         tt = particles.t if t is None else pool_put(
@@ -189,13 +203,15 @@ def scatter_candidates(
 
     if defer_payload:
         assert compact_to is None and extra is None
-        flags = pool_put(particles.flags, flat,
-                         jnp.broadcast_to(jnp.int32(flag), flat.shape))
+        flags = flags_scatter(particles.flags, flat)
         weight = pool_put(particles.weight, flat, payload_cols[6])
         new = dataclasses.replace(particles, flags=flags, weight=weight)
         return new, (flat, tuple(payload_cols[:6]))
 
     if compact_to is not None and compact_to < flat.shape[0]:
+        # per-candidate flag arrays / merged kill rows don't compose with
+        # the compacted re-indexing below; no caller needs both
+        assert flag_extra is None and jnp.ndim(flag) == 0
         # Bucket specialization: compacted scatter when survivors fit the
         # budget (steady state), full scatter otherwise (burst frames).
         c_idx, c_valid, _, n_over = compact_mask(keep, compact_to)
