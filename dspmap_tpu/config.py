@@ -412,10 +412,17 @@ def dsp_dynamic_multi_neighbors(**overrides) -> MapConfig:
         # (mn:69); the two-tier update makes it cheap (realized 1-degree
         # cells peak at ~51 points on the street scene, so the dense tier
         # carries 16 and the rest take the exact spill path).
-        # 4536 x 32 x 400 pair terms per pass: the VMEM-resident Pallas
-        # pair kernels win here (26.2 -> 25.0 ms measured); the flagship's
-        # smaller tiles do not (docs/PERF.md).
+        # 4536-row pair tiles: the VMEM-resident Pallas pair kernels win
+        # here (26.2 -> 25.0 ms measured); the flagship's smaller tiles do
+        # not (docs/PERF.md).
         use_pallas_update=True,
+        # dense particle tier 16 (default 32 at 1 degree): realized 1-deg
+        # cell occupancy averages ~3 particles, so halving the dense tile
+        # halves the pair work and the fovbin tensors (16.2 -> 14.4
+        # ms/frame, round 4) with zero spill overflow on the street scene;
+        # the tiers are a processing layout -- results are exact either
+        # way (tier-invariance test, tests/test_ops.py).
+        pyramid_dense_slots=16,
     )
     return dataclasses.replace(cfg, **overrides).validate()
 
@@ -444,6 +451,11 @@ def dsp_static(**overrides) -> MapConfig:
         # 504-row x 64-slot dense tiles: the Pallas pair kernels measured
         # 16.8 -> 15.7 ms here (docs/PERF.md).
         use_pallas_update=True,
+        # dense tier 32 (default 64 at 3 degrees): 9.22 -> 9.11 ms with
+        # zero spill overflow (round 4; exact -- two-tier is a processing
+        # layout).  The dynamic preset keeps 64: 32 overflowed the spill
+        # buffer there (186 particles would skip their update).
+        pyramid_dense_slots=32,
     )
     return dataclasses.replace(cfg, **overrides).validate()
 
