@@ -316,9 +316,16 @@ def _rebin_chain(particles, vacated, cfg, sw, sensor_pos, update_time,
             allocate_slots, scatter_candidates, n_cand,
         )
 
+    # Halving ladder plus 3/4 steps: realized steady-state candidate counts
+    # sit just above a power-of-two on both the flagship (~13k vs 12288)
+    # and multi (~17k vs 16384), which otherwise forces the full-width
+    # branch every frame (measured round 4).
     sizes = [cap]
     while sizes[0] > (4096 if _FOV_BUCKETS else cap):
         sizes.insert(0, sizes[0] // 2)
+    if _FOV_BUCKETS:
+        sizes = sorted({*sizes, *(3 * s // 4 for s in sizes if
+                                  3 * s // 4 >= 4096 and (3 * s) % 4 == 0)})
     if shard is not None or len(sizes) == 1:
         return chain(idx_f, c_valid_f, cap)
     case = jnp.minimum(
