@@ -135,18 +135,18 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
             # noise-free, ops/propagate.py) take the fused-sweep path: one
             # pool pass computes advance, window masks and pyramid geometry.
             if cfg.limit_motion_to_xy_plane or cfg.motion_model == "static":
-                if cfg.motion_model == "static":
-                    zeros = jnp.zeros_like(state.particles.vx)
-                    particles = dataclasses.replace(
-                        state.particles, vx=zeros, vy=zeros, vz=zeros
-                    )
-                else:
-                    particles = dataclasses.replace(
-                        state.particles,
-                        vz=jnp.where(
-                            state.particles.valid, 0.0, state.particles.vz
-                        ),
-                    )
+                # The reference's per-prediction velocity clamp (vz=0 under
+                # LIMIT_MOVEMENT_IN_XY_PLANE, dsp_dynamic.h:661-663; v=0 in
+                # the static model, dsp_static.h:640-646) holds here as a
+                # write-site invariant instead of a pool-wide pass: every
+                # velocity write under these configs already conforms --
+                # birth (ops/birth.py: static model writes v=0, limit-xy
+                # zeroes the vz lane per dsp_dynamic.h:905-907), mover and
+                # resample copies (conforming -> conforming), and
+                # add_random_particles (clamped at draw time, state.py).
+                # Re-clamping 3.1M-54M slots each frame cost a full plane
+                # read+write (~1.5 ms/frame at large_urban) for a no-op.
+                particles = state.particles
                 sw = sweep(
                     particles, cfg, dt, origin, frame.sensor_pos, frame.quat,
                     cell_base=0 if shard is None else shard.lo,

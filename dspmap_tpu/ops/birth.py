@@ -99,6 +99,19 @@ def particle_birth(
     # Flat mid-frame pools (state.flatten_pool) sum S contiguous [V] slices
     # instead of reshaping back to [S, V] (which would pay a relayout copy
     # per plane -- the cost the flat phase exists to avoid).
+    # Velocity planes whose values are identically zero for every considered
+    # particle (the write-site clamp invariant, models/pipeline.py: vz under
+    # limit-xy per dsp_dynamic.h:661-663, all three under the static model
+    # per dsp_static.h:640-646) drop out of the L1 speed -- skipping their
+    # full-plane reads (one 216 MB plane ~0.8 ms at large_urban scale).
+    if cfg.motion_model == "static":
+        v_axes = ()
+    elif cfg.limit_motion_to_xy_plane:
+        v_axes = (0, 1)
+    else:
+        v_axes = (0, 1, 2)
+    v_planes = tuple((particles.vx, particles.vy, particles.vz)[a]
+                     for a in v_axes)
     if particles.flags.ndim == 1:
         w_static_v = jnp.zeros((V_local,), jnp.float32)
         w_mid_v = jnp.zeros((V_local,), jnp.float32)
@@ -106,11 +119,8 @@ def particle_birth(
         for s in range(S_pool):
             sl = slice(s * V_local, (s + 1) * V_local)
             fl = particles.flags[sl]
-            l1 = (
-                jnp.abs(particles.vx[sl])
-                + jnp.abs(particles.vy[sl])
-                + jnp.abs(particles.vz[sl])
-            )
+            l1 = sum((jnp.abs(v[sl]) for v in v_planes),
+                     jnp.zeros((V_local,), jnp.float32))
             w_c = jnp.where(
                 (fl != 0) & (fl != FLAG_NEWBORN), particles.weight[sl], 0.0
             )
@@ -119,11 +129,8 @@ def particle_birth(
             w_dyn_v = w_dyn_v + jnp.where(l1 >= 0.5, w_c, 0.0)
     else:
         considered = (particles.flags != 0) & (particles.flags != FLAG_NEWBORN)
-        l1 = (
-            jnp.abs(particles.vx)
-            + jnp.abs(particles.vy)
-            + jnp.abs(particles.vz)
-        )  # [S, V]
+        l1 = sum((jnp.abs(v) for v in v_planes),
+                 jnp.zeros_like(particles.weight))  # [S, V]
         w_c = jnp.where(considered, particles.weight, 0.0)
         w_static_v = jnp.sum(jnp.where(l1 < 0.1, w_c, 0.0), axis=0)  # [V]
         w_mid_v = jnp.sum(jnp.where((l1 >= 0.1) & (l1 < 0.5), w_c, 0.0), axis=0)
@@ -148,12 +155,14 @@ def particle_birth(
         ef = jnp.where(e_ok, e_flat, 0)
         e_cell = ef % V_local
         w_p = jnp.where(e_ok, particles.weight[ef], 0.0)
-        stale_l1 = (
-            jnp.abs(particles.vx[ef])
-            + jnp.abs(particles.vy[ef])
-            + jnp.abs(particles.vz[ef])
-        )
-        true_l1 = jnp.abs(e_cols[3]) + jnp.abs(e_cols[4]) + jnp.abs(e_cols[5])
+        # Same plane subset as the slot-axis reduce above (v_axes): the
+        # delta must subtract EXACTLY what the reduce added for these slots
+        # (a stale-garbage vz at a dead-then-reused slot would otherwise
+        # break the cancellation under limit-xy, where the reduce skips vz).
+        stale_l1 = sum((jnp.abs(v[ef]) for v in v_planes),
+                       jnp.zeros_like(w_p))
+        true_l1 = sum((jnp.abs(e_cols[3 + a]) for a in v_axes),
+                      jnp.zeros_like(w_p))
 
         def cls_delta(lo, hi):
             in_t = ((true_l1 >= lo) & (true_l1 < hi)).astype(jnp.float32)
