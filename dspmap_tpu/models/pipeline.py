@@ -137,16 +137,33 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
             if cfg.limit_motion_to_xy_plane or cfg.motion_model == "static":
                 # The reference's per-prediction velocity clamp (vz=0 under
                 # LIMIT_MOVEMENT_IN_XY_PLANE, dsp_dynamic.h:661-663; v=0 in
-                # the static model, dsp_static.h:640-646) holds here as a
-                # write-site invariant instead of a pool-wide pass: every
-                # velocity write under these configs already conforms --
-                # birth (ops/birth.py: static model writes v=0, limit-xy
-                # zeroes the vz lane per dsp_dynamic.h:905-907), mover and
-                # resample copies (conforming -> conforming), and
-                # add_random_particles (clamped at draw time, state.py).
-                # Re-clamping 3.1M-54M slots each frame cost a full plane
-                # read+write (~1.5 ms/frame at large_urban) for a no-op.
-                particles = state.particles
+                # the static model, dsp_static.h:640-646) is a no-op on
+                # valid particles here -- every velocity write under these
+                # configs already conforms: birth (ops/birth.py: static
+                # model writes v=0, limit-xy zeroes the vz lane per
+                # dsp_dynamic.h:905-907), mover and resample copies
+                # (conforming -> conforming), and add_random_particles
+                # (clamped at draw time, state.py).  The clamped planes are
+                # therefore replaced with LITERAL zeros rather than a
+                # masked ``where`` pass: a constant plane costs nothing
+                # (XLA folds every pre-insert read of it away -- the sweep
+                # advance, birth's L1 classification -- and fuses the
+                # zero-fill into the insert scatters), while the ``where``
+                # form paid a full pool-plane read+write (~1.5 ms/frame at
+                # large_urban's 216 MB planes) and forced real reads
+                # downstream.  Observable content is identical: valid
+                # slots hold 0 either way, invalid slots are dead (every
+                # consumer masks by flags; insert overwrites on reuse).
+                if cfg.motion_model == "static":
+                    zeros = jnp.zeros_like(state.particles.vx)
+                    particles = dataclasses.replace(
+                        state.particles, vx=zeros, vy=zeros, vz=zeros
+                    )
+                else:
+                    particles = dataclasses.replace(
+                        state.particles,
+                        vz=jnp.zeros_like(state.particles.vz),
+                    )
                 sw = sweep(
                     particles, cfg, dt, origin, frame.sensor_pos, frame.quat,
                     cell_base=0 if shard is None else shard.lo,
@@ -163,6 +180,21 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                     particles,
                     skip=() if cfg.record_particle_time else ("t",),
                 )
+                # Re-issue the constant-zero velocity planes in flat form:
+                # flatten_pool cannot fold a constant through the Pallas
+                # to_flat kernel (>= 16 MB planes), so without this the
+                # zeros would be materialized AND kernel-copied; replacing
+                # the flattened plane makes that kernel call dead (DCE) and
+                # keeps every flat-phase read of it constant-foldable.
+                if cfg.motion_model == "static":
+                    zf = jnp.zeros_like(particles.vx)
+                    particles = dataclasses.replace(
+                        particles, vx=zf, vy=zf, vz=zf
+                    )
+                elif cfg.limit_motion_to_xy_plane:
+                    particles = dataclasses.replace(
+                        particles, vz=jnp.zeros_like(particles.vz)
+                    )
                 sw = sw._replace(
                     tags=ravel_plane(sw.tags),
                     new_cell=ravel_plane(sw.new_cell),

@@ -29,48 +29,61 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import MapConfig
 
 
-def _kernel(*refs, cfg: MapConfig, S: int, V: int, with_t: bool,
+def _kernel(*refs, cfg: MapConfig, S: int, V: int, n_vel: int, with_t: bool,
             with_moving: bool):
-    # Optional planes (both statically configured): the particle-time plane
+    # Optional planes (all statically configured): the particle-time plane
     # rides along only when ``cfg.record_particle_time`` (write-only state,
-    # see config.py), and the [S, L] ``moving`` mask is emitted only when the
+    # see config.py), the [S, L] ``moving`` mask is emitted only when the
     # caller has no pre-compacted future-mover set -- a Pallas output cannot
-    # be dead-code-eliminated by XLA, so unused planes must not exist.
-    n_in = 8 + with_t
-    (flags_ref, w_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
-     vz_ref) = refs[:8]
-    t_ref = refs[8] if with_t else None
+    # be dead-code-eliminated by XLA, so unused planes must not exist -- and
+    # only the first ``n_vel`` velocity planes are carried: planes the
+    # pipeline's velocity-clamp invariant makes identically zero (vz under
+    # limit-xy, dsp_dynamic.h:661-663; all three in the static model,
+    # dsp_static.h:640-646) are elided entirely, since a Pallas kernel
+    # cannot constant-fold a zeros operand the way XLA does (each elided
+    # plane saves a full pool read + write, ~1.1 ms/frame at large_urban's
+    # 216 MB planes).
+    n_in = 5 + n_vel + with_t
+    flags_ref, w_ref, px_ref, py_ref, pz_ref = refs[:5]
+    vel_refs = refs[5:5 + n_vel]
+    t_ref = refs[5 + n_vel] if with_t else None
     outs = refs[n_in:]
-    (oflags_ref, ow_ref, opx_ref, opy_ref, opz_ref, ovx_ref, ovy_ref,
-     ovz_ref) = outs[:8]
-    k = 8
+    oflags_ref, ow_ref, opx_ref, opy_ref, opz_ref = outs[:5]
+    ovel_refs = outs[5:5 + n_vel]
+    k = 5 + n_vel
     ot_ref = outs[k] if with_t else None
     k += with_t
     omoving_ref = outs[k] if with_moving else None
     k += with_moving
-    (ows_ref, onold_ref, ovsx_ref, ovsy_ref, ovsz_ref, ostatic_ref,
-     onvalid_ref, onculled_ref, odors_ref, ondropped_ref,
-     onfilled_ref) = outs[k:]
+    ows_ref, onold_ref = outs[k], outs[k + 1]
+    ovs_refs = outs[k + 2 : k + 2 + n_vel]
+    (ostatic_ref, onvalid_ref, onculled_ref, odors_ref, ondropped_ref,
+     onfilled_ref) = outs[k + 2 + n_vel:]
     # flag logic in i32: the VPU has no 8-bit equality compare
     flags = flags_ref[...].astype(jnp.int32)
     w = w_ref[...]
-    vx, vy, vz = vx_ref[...], vy_ref[...], vz_ref[...]
+    vels = [r[...] for r in vel_refs]
 
     valid0 = flags != 0
     cull = valid0 & (w < cfg.weight_cull_threshold)
     valid = valid0 & ~cull
     newborn = flags == 3
     old = valid & ~newborn
-    moving = old & ((vx != 0.0) | (vy != 0.0) | (vz != 0.0))
+    if vels:
+        mv = vels[0] != 0.0
+        for v in vels[1:]:
+            mv = mv | (v != 0.0)
+        moving = old & mv
+    else:
+        moving = jnp.zeros_like(old)
 
     fvalid = valid.astype(jnp.float32)
     wv = w * fvalid
     weight_sum = jnp.sum(wv, axis=0)  # [L]
     fold = old.astype(jnp.float32)
     n_old = jnp.sum(fold, axis=0)
-    ovsx_ref[...] = jnp.sum(vx * fold, axis=0)
-    ovsy_ref[...] = jnp.sum(vy * fold, axis=0)
-    ovsz_ref[...] = jnp.sum(vz * fold, axis=0)
+    for ovs_ref, v in zip(ovs_refs, vels):
+        ovs_ref[...] = jnp.sum(v * fold, axis=0)
     ostatic_ref[...] = jnp.sum(w * (old & ~moving).astype(jnp.float32), axis=0)
     ows_ref[...] = weight_sum
     onold_ref[...] = n_old
@@ -89,8 +102,8 @@ def _kernel(*refs, cfg: MapConfig, S: int, V: int, with_t: bool,
     do_rs = count >= cfg.resample_min_count
     odors_ref[...] = do_rs.astype(jnp.float32)
 
-    pairs = [(px_ref, opx_ref), (py_ref, opy_ref), (pz_ref, opz_ref),
-             (vx_ref, ovx_ref), (vy_ref, ovy_ref), (vz_ref, ovz_ref)]
+    pairs = [(px_ref, opx_ref), (py_ref, opy_ref), (pz_ref, opz_ref)]
+    pairs += list(zip(vel_refs, ovel_refs))
     if with_t:
         pairs.append((t_ref, ot_ref))
 
@@ -237,6 +250,18 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
     L = 4096 if S <= 16 else (2048 if S <= 32 else 1024)
     grid = (pl.cdiv(V, L),)
     with_t = bool(cfg.record_particle_time)
+    # Velocity planes made identically zero by the pipeline's clamp
+    # invariant (models/pipeline.py) are elided from the kernel I/O; the
+    # caller substitutes the particles' own (constant-zero) planes and
+    # zero aggregates.  Exactness relies on that invariant -- direct
+    # callers must feed conforming pools (the test suites do).
+    if cfg.motion_model == "static":
+        n_vel = 0
+    elif cfg.limit_motion_to_xy_plane:
+        n_vel = 2
+    else:
+        n_vel = 3
+    vel_in = (particles.vx, particles.vy, particles.vz)[:n_vel]
 
     def bspec():
         return pl.BlockSpec((S, L), lambda b: (0, b), memory_space=pltpu.VMEM)
@@ -244,39 +269,47 @@ def occupancy_pool_pass(particles, cfg: MapConfig, interpret: bool = False,
     def vspec():
         return pl.BlockSpec((L,), lambda b: (b,), memory_space=pltpu.VMEM)
 
-    n_planes = 8 + with_t  # in: flags,w,pos,vel[,t]; out: same + aggregates
+    n_planes = 5 + n_vel + with_t  # in: flags,w,pos,vel[:n_vel][,t]
+    n_aggs = 8 + n_vel  # ws, n_old, vel sums, static, 5 stats counters
     out_shape = (
         [jax.ShapeDtypeStruct((S, V), jnp.int32)]
         + [jax.ShapeDtypeStruct((S, V), jnp.float32)
            for _ in range(n_planes - 1)]
         + ([jax.ShapeDtypeStruct((S, V), jnp.bool_)] if with_moving else [])
-        + [jax.ShapeDtypeStruct((V,), jnp.float32) for _ in range(11)]
+        + [jax.ShapeDtypeStruct((V,), jnp.float32) for _ in range(n_aggs)]
     )
     operands = [particles.flags, particles.weight, particles.px, particles.py,
-                particles.pz, particles.vx, particles.vy, particles.vz]
+                particles.pz, *vel_in]
     if with_t:
         operands.append(particles.t)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg, S=S, V=V, with_t=with_t,
-                          with_moving=with_moving),
+        functools.partial(_kernel, cfg=cfg, S=S, V=V, n_vel=n_vel,
+                          with_t=with_t, with_moving=with_moving),
         grid=grid,
         in_specs=[bspec() for _ in range(n_planes)],
         out_specs=(
             [bspec() for _ in range(n_planes + with_moving)]
-            + [vspec() for _ in range(11)]
+            + [vspec() for _ in range(n_aggs)]
         ),
         out_shape=out_shape,
         interpret=interpret,
     )(*operands)
-    flags, w, px, py, pz, vx, vy, vz = outs[:8]
-    k = 8
+    flags, w, px, py, pz = outs[:5]
+    vel_out = list(outs[5:5 + n_vel])
+    vel_out += [getattr(particles, n) for n in ("vx", "vy", "vz")[n_vel:]]
+    vx, vy, vz = vel_out
+    k = 5 + n_vel
     t = outs[k] if with_t else particles.t
     k += with_t
     moving = outs[k] if with_moving else None
     k += with_moving
-    (ws, n_old, vsx, vsy, vsz, static_contrib,
-     n_valid, n_culled, do_rs, n_dropped, n_filled) = outs[k:]
+    ws, n_old = outs[k], outs[k + 1]
+    vsums = list(outs[k + 2 : k + 2 + n_vel])
+    vsums += [jnp.zeros((V,), jnp.float32)] * (3 - n_vel)
+    vsx, vsy, vsz = vsums
+    (static_contrib, n_valid, n_culled, do_rs,
+     n_dropped, n_filled) = outs[k + 2 + n_vel:]
     fields = dict(flags=flags, weight=w, px=px, py=py, pz=pz,
                   vx=vx, vy=vy, vz=vz, t=t)
     counters = (n_valid, n_culled, do_rs, n_dropped, n_filled)

@@ -66,16 +66,29 @@ def test_sweep_kernel_matches_reference(model):
             assert frac < 1e-3, (name, frac)
 
 
-@pytest.mark.parametrize("safety", [2, 5])
-def test_occupancy_kernel_matches_xla(safety):
+@pytest.mark.parametrize("safety,mode", [
+    (2, "limit_xy"),   # n_vel=2: vz plane elided from the kernel I/O
+    (5, "limit_xy"),
+    (2, "free"),       # n_vel=3: all velocity planes carried
+    (2, "static"),     # n_vel=0: every velocity plane elided
+])
+def test_occupancy_kernel_matches_xla(safety, mode):
     """The occupancy mega-kernel (ops/pallas/occupancy.py) is element-exact
     vs the XLA pool pass, including cull, newborn reset, systematic-resample
     copy placement and mass fold-back -- at both the x2 and the x5
-    (dsp_static) slot safety factors."""
+    (dsp_static) slot safety factors and at every velocity-plane elision
+    arm (the clamp-invariant planes skipped from kernel I/O).  Inputs
+    conform to the pipeline's clamp invariant per mode, which is what the
+    elision's exactness is defined over."""
     from dspmap_tpu.ops.occupancy import _pool_pass_xla
     from dspmap_tpu.ops.pallas.occupancy import occupancy_pool_pass
 
-    cfg = _cfg(voxel_slot_safety_factor=safety)
+    kw = {}
+    if mode == "free":
+        kw.update(limit_motion_to_xy_plane=False)
+    elif mode == "static":
+        kw.update(motion_model="static", estimator_enabled=False)
+    cfg = _cfg(voxel_slot_safety_factor=safety, **kw)
     rng = np.random.default_rng(safety)
     state = dm.init_state(cfg, jax.random.key(0))
     S, V = cfg.slots_per_voxel, cfg.voxel_num
@@ -88,10 +101,15 @@ def test_occupancy_kernel_matches_xla(safety):
         flags[slots, c] = rng.choice([1, 1, 1, 3], size=k)
         weights[slots, c] = rng.uniform(0.0005, 1.0, size=k)
         vx[slots, c] = np.where(rng.random(k) < 0.3, 1.0, 0.0)
+    vz = np.zeros((S, V), np.float32)
+    if mode == "static":
+        vx[:] = 0.0  # static-model invariant: all velocities zero
+    elif mode == "free":
+        vz = rng.normal(0, 0.4, (S, V)).astype(np.float32)
     p = dataclasses.replace(
         state.particles,
         flags=jnp.asarray(flags), weight=jnp.asarray(weights),
-        vx=jnp.asarray(vx),
+        vx=jnp.asarray(vx), vz=jnp.asarray(vz),
         px=jnp.asarray(rng.normal(0, 1, (S, V)), jnp.float32),
         t=jnp.asarray(rng.uniform(0, 5, (S, V)), jnp.float32),
     )
