@@ -228,3 +228,34 @@ def test_runtime_setters_no_recompile():
     w_hi = np.asarray(out_hi_state.weight_sum)
     w_lo = np.asarray(out_lo_state.weight_sum)
     assert not np.allclose(w_hi, w_lo)
+
+
+@pytest.mark.parametrize(
+    "preset", [dsp_dynamic, dsp_static], ids=["limit_xy", "static"]
+)
+def test_velocity_clamp_invariant_holds(preset):
+    """The write-site velocity-clamp invariant (models/pipeline.py;
+    dsp_dynamic.h:661-663 / dsp_static.h:640-646): after random init,
+    births, mover re-insertion and resampling, every VALID particle's
+    clamped velocity components are exactly zero -- the pipeline relies on
+    this instead of re-clamping the whole pool each frame, and the Pallas
+    occupancy kernel elides the clamped planes from its I/O entirely."""
+    import dspmap_tpu as dm
+
+    cfg = preset(**small_cfg())
+    assert cfg.limit_motion_to_xy_plane or cfg.motion_model == "static"
+    state = init_state(cfg, jax.random.key(0))
+    # the one write site that draws non-conforming velocities
+    state = dm.add_random_particles(state, cfg, 500, 0.01)
+    step = jax.jit(make_step(cfg))
+    for pts, n, pos, quat, t in sim.generate_sequence(6, cfg, seed=11):
+        state, out = step(state, Frame(
+            points=jnp.asarray(pts), n_points=jnp.int32(n),
+            sensor_pos=jnp.asarray(pos), quat=jnp.asarray(quat),
+            timestamp=jnp.asarray(t)))
+    p = state.particles
+    clamped = ("vx", "vy", "vz") if cfg.motion_model == "static" else ("vz",)
+    for name in clamped:
+        v = np.asarray(jnp.where(p.valid, getattr(p, name), 0.0))
+        assert np.abs(v).max() == 0.0, name
+    assert int(out.metrics["alive"]) > 0
