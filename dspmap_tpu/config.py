@@ -207,6 +207,25 @@ class MapConfig:
     #: copy placement (~0.3 ms/frame).  Turn on to keep the plane current
     #: (e.g. for custom telemetry over checkpoints).
     record_particle_time: bool = False
+    #: particle storage layout.  ``"pool"`` is the dense ``[S, V]``
+    #: slot-pool translation of the reference's static arrays
+    #: (``dsp_dynamic.h:116``); ``"compact"`` stores the live population in
+    #: one ``[P]`` SoA array (``P = compact_capacity``) and runs every pool
+    #: pass as O(alive) sort/segment/scatter work instead of streaming the
+    #: ``S*V`` slot planes (ops/compact.py).  Per-voxel capacity semantics
+    #: (drop-on-full, ``dsp_dynamic.h:1198-1200,1227-1229``) are enforced
+    #: by within-voxel arrival ranks in both layouts.  The realized live
+    #: population is ~21k particles in a 3.1M-slot flagship pool, so the
+    #: compact layout moves ~100x fewer bytes per frame.
+    layout: str = "pool"
+    #: row capacity of the compact layout's particle array; ``None``
+    #: derives ``min(slots_per_voxel * storage_voxels, 2^17)`` -- a budget
+    #: ~6x the flagship's steady-state alive population.  When the global
+    #: row pool is exhausted, surplus newborns/resample-copies are dropped
+    #: and counted (``metrics["pool_overflow"]``); per-voxel capacity is
+    #: unchanged.  No reference analogue (its global bound is the full
+    #: ``V*S`` array).
+    particle_capacity: int | None = None
     #: global capacity of the in-FOV particle buffer; ``None`` derives
     #: ``min(n_pyramids * pyramid_slots, 2^15)``.  Overflow particles keep
     #: their weight but skip the measurement update that frame (the
@@ -251,6 +270,13 @@ class MapConfig:
         if plane_bytes >= (16 << 20) and big <= base * 1.04:
             return big
         return base
+
+    @property
+    def compact_capacity(self) -> int:
+        """Row count P of the compact particle array (see ``layout``)."""
+        if self.particle_capacity is not None:
+            return self.particle_capacity
+        return min(self.slots_per_voxel * self.storage_voxels, 1 << 17)
 
     @property
     def n_pyramids_h(self) -> int:
@@ -373,6 +399,8 @@ class MapConfig:
             raise ValueError("half_fov_v_deg must be a multiple of angle resolution")
         if self.motion_model not in ("constant_velocity", "static"):
             raise ValueError(f"unknown motion model {self.motion_model!r}")
+        if self.layout not in ("pool", "compact"):
+            raise ValueError(f"unknown layout {self.layout!r}")
         return self
 
 

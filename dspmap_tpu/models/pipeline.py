@@ -90,8 +90,16 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
     Noisy-propagation configurations fold the shard index into the
     pool-shaped noise keys so each slab draws independent noise (see the
     prediction branch below); their mover exchange runs in ``ops.rebin``.
+
+    ``cfg.layout == "compact"`` builds the alive-proportional step instead
+    (ops/compact.py): identical per-frame semantics over the ``[P]`` compact
+    particle array -- the measurement update, estimator and ingest stages
+    are shared verbatim; prediction/rebin/FOV/birth/occupancy run as
+    O(alive) work.
     """
     cfg.validate()
+    if cfg.layout == "compact":
+        return _make_step_compact(cfg, with_metrics, admission_control, shard)
 
     def step(state: MapState, frame: Frame):
         q_ok = geometry.quaternion_is_valid(frame.quat)
@@ -292,6 +300,156 @@ def make_step(cfg: MapConfig, with_metrics: bool = True,
                         else jax.lax.psum(v, shard.axis))
                     for k, v in metrics.items()
                 }
+            cloud = (est_out.points, est_out.vel, est_out.dynamic, est_out.valid)
+            return new_state, metrics, cloud
+
+        def skip(state: MapState):
+            shapes = jax.eval_shape(run, state)
+            zeros = jax.tree.map(lambda x: jnp.zeros_like(x), shapes[1:])
+            return (state,) + zeros
+
+        if admission_control:
+            new_state, metrics, cloud = jax.lax.cond(accepted, run, skip, state)
+        else:
+            new_state, metrics, cloud = run(state)
+        return new_state, StepOutput(
+            accepted=accepted,
+            weight_sum=new_state.weight_sum,
+            metrics=metrics,
+            estimator_cloud=cloud,
+        )
+
+    return step
+
+
+def _make_step_compact(cfg: MapConfig, with_metrics: bool = True,
+                       admission_control: bool = True, shard=None):
+    """The per-frame transition over the compact particle layout
+    (``ops/compact.py``): same call order as the pool-layout step
+    (``DSPMap::update``, dsp_dynamic.h:181-353) with every pool pass
+    replaced by O(alive) sorts/segment scans/scatter-adds."""
+    from ..ops.compact import (occupancy_compact, rebin_compact,
+                               register_fov_compact, sweep_compact)
+    from ..ops.birth import particle_birth_compact
+
+    if shard is not None:
+        raise NotImplementedError(
+            "shard_map fast path over the compact layout: use "
+            "parallel.shard_step (pool layout) or layout='pool'"
+        )
+
+    def step(state: MapState, frame: Frame):
+        q_ok = geometry.quaternion_is_valid(frame.quat)
+        last_pos = jnp.where(
+            state.initialized, state.last_sensor_pos, frame.sensor_pos
+        )
+        last_t = jnp.where(state.initialized, state.last_timestamp, frame.timestamp)
+        delta_p = frame.sensor_pos - last_pos
+        dt = frame.timestamp - last_t
+        jump_ok = jnp.all(jnp.abs(delta_p) <= 10.0) & (dt >= 0.0) & (dt <= 10.0)
+        accepted = q_ok & jump_ok
+
+        def run(state: MapState):
+            origin = geometry.window_origin(frame.sensor_pos, cfg)
+            keys = jax.random.split(state.rng, 6)
+            update_time = state.update_time + dt
+            rt = state.params
+
+            # -- ingest (dsp_dynamic.h:234-293) -------------------------
+            point_valid = (
+                jnp.arange(frame.points.shape[0], dtype=jnp.int32) < frame.n_points
+            )
+            obs = project_points(
+                frame.points, point_valid, frame.sensor_pos, frame.quat, cfg
+            )
+            expected_newborn = (
+                rt.newborn_particle_weight
+                * obs.n_valid_points.astype(jnp.float32)
+                * cfg.newborn_particles_per_point
+            )
+
+            # -- velocity estimation (dsp_dynamic.h:297,1377) -----------
+            est_out, est_state = estimate_velocities(
+                obs.cloud_world, obs.cloud_valid, state.estimator, cfg, dt, keys[0]
+            )
+
+            # Velocity clamps as write-site invariants (see the pool-layout
+            # branch): planes the clamp zeroes are literal zeros.
+            particles = state.particles
+            if cfg.motion_model == "static":
+                z = jnp.zeros_like(particles.vx)
+                particles = dataclasses.replace(particles, vx=z, vy=z, vz=z)
+            elif cfg.limit_motion_to_xy_plane:
+                particles = dataclasses.replace(
+                    particles, vz=jnp.zeros_like(particles.vz)
+                )
+
+            # -- prediction + rebin + FOV (dsp_dynamic.h:627-701,1206-1279)
+            particles, sw = sweep_compact(
+                particles, cfg, dt, origin, frame.sensor_pos, frame.quat,
+                keys[1], rt=rt,
+            )
+            particles, _, rebin_stats = rebin_compact(particles, sw, cfg)
+            particles, fovbin, fov_stats = register_fov_compact(
+                particles, cfg, sw.pyr, sw.fov, frame.sensor_pos,
+                key=keys[2], rt=rt,
+            )
+
+            # -- measurement update (dsp_dynamic.h:704-793) -------------
+            particles, norm_coeff, upd_stats = measurement_update(
+                particles, fovbin, obs, cfg, expected_newborn, update_time,
+                rt=rt,
+            )
+
+            # -- particle birth (dsp_dynamic.h:796-921) -----------------
+            particles, birth_stats = particle_birth_compact(
+                particles, cfg, keys[3],
+                est_points=est_out.points,
+                est_vel=est_out.vel,
+                est_dynamic=est_out.dynamic,
+                est_valid=est_out.valid,
+                norm_coeff=norm_coeff,
+                origin=origin,
+                update_time=update_time,
+                rt=rt,
+            )
+
+            # -- occupancy + future + resample (dsp_dynamic.h:924-1057) -
+            particles, weight_sum, vel_avg, future, occ_stats = (
+                occupancy_compact(particles, cfg, origin, state.future)
+            )
+
+            new_state = dataclasses.replace(
+                state,
+                particles=particles,
+                weight_sum=weight_sum,
+                vel_avg=vel_avg,
+                future=future,
+                rng=keys[5],
+                sensor_pos=frame.sensor_pos,
+                last_sensor_pos=frame.sensor_pos,
+                origin=origin,
+                update_time=update_time,
+                last_timestamp=frame.timestamp,
+                update_counter=state.update_counter + 1,
+                initialized=jnp.asarray(True),
+                estimator=est_state,
+            )
+            if with_metrics:
+                metrics = {
+                    "valid_points": obs.n_valid_points,
+                    **rebin_stats,
+                    **fov_stats,
+                    **upd_stats,
+                    **birth_stats,
+                    **occ_stats,
+                }
+                # birth + occupancy both report global-row-budget drops
+                metrics["pool_overflow"] = (
+                    birth_stats["pool_overflow"] + occ_stats["pool_overflow"]
+                )
+            else:
+                metrics = {"alive": occ_stats["alive"]}
             cloud = (est_out.points, est_out.vel, est_out.dynamic, est_out.valid)
             return new_state, metrics, cloud
 

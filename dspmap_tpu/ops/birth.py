@@ -40,6 +40,178 @@ from .insert import insert_particles
 from ..state import FLAG_NEWBORN
 
 
+def birth_table(cfg: MapConfig, key, est_points, est_vel, est_dynamic,
+                w_static, w_mid, w_dyn, rt=None):
+    """Dempster-Shafer arbitration + the newborn candidate table
+    (``dsp_dynamic.h:850-907``), shared by both storage layouts.
+
+    ``w_static/w_mid/w_dyn [P]`` are the per-point class weight sums of the
+    point's voxel (computed by the caller from its layout).  Returns
+    ``(pos [P, n_b, 3], vel [P, n_b, 3])``."""
+    P = est_points.shape[0]
+    n_b = cfg.newborn_particles_per_point
+    sigma_p = cfg.position_noise_std if rt is None else rt.position_noise_std
+    sigma_v = cfg.velocity_noise_std if rt is None else rt.velocity_noise_std
+
+    total = w_static + w_mid + w_dyn
+    p_static = (2.0 * w_static + w_mid) * 0.5
+    p_dynamic = (2.0 * w_dyn + w_mid) * 0.5
+    p_static_norm = jnp.where(total > 0.0, p_static / (p_static + p_dynamic), 0.0)
+
+    n_model = cfg.model_newborns
+    n_static = jnp.maximum(
+        cfg.min_static_newborns,
+        jnp.floor(n_model * p_static_norm).astype(jnp.int32),
+    )  # [P]
+
+    key_p, key_v, key_u = jax.random.split(key, 3)
+    b = jnp.arange(n_b, dtype=jnp.int32)[None, :]  # [1, n_b]
+    pos = (
+        est_points[:, None, :]
+        + jax.random.normal(key_p, (P, n_b, 3), jnp.float32) * sigma_p
+    )
+
+    if cfg.motion_model == "static":
+        # dsp_static.h:804-824: every newborn is static, no DS arbitration.
+        vel = jnp.zeros((P, n_b, 3), jnp.float32)
+    else:
+        vel_known = est_vel[:, 0] > -100.0  # sentinel test (dsp_dynamic.h:881)
+        v_model = jnp.where(
+            est_dynamic[:, None, None],
+            est_vel[:, None, :]
+            + cfg.estimator_newborn_noise_gain
+            * sigma_v
+            * jax.random.normal(key_v, (P, n_b, 3), jnp.float32),
+            0.0,
+        )
+        span = jnp.asarray(
+            [cfg.random_newborn_vxy, cfg.random_newborn_vxy, cfg.random_newborn_vz],
+            jnp.float32,
+        )
+        v_random = jnp.where(
+            est_dynamic[:, None, None],
+            jax.random.uniform(key_u, (P, n_b, 3), jnp.float32, -1.0, 1.0) * span,
+            0.0,
+        )
+        is_static_b = b < n_static[:, None]
+        is_model_b = (~is_static_b) & vel_known[:, None] & (b < n_model)
+        vel = jnp.where(
+            is_static_b[:, :, None],
+            0.0,
+            jnp.where(is_model_b[:, :, None], v_model, v_random),
+        )
+        if cfg.limit_motion_to_xy_plane:
+            vel = vel.at[:, :, 2].set(0.0)  # dsp_dynamic.h:905-907
+    return pos, vel
+
+
+def particle_birth_compact(
+    particles,
+    cfg: MapConfig,
+    key: jax.Array,
+    *,
+    est_points: jnp.ndarray,
+    est_vel: jnp.ndarray,
+    est_dynamic: jnp.ndarray,
+    est_valid: jnp.ndarray,
+    norm_coeff: jnp.ndarray,
+    origin: jnp.ndarray,
+    update_time,
+    rt=None,
+    shard=None,
+):
+    """Particle birth over the compact layout (``cfg.layout == "compact"``,
+    ops/compact.py): identical semantics to :func:`particle_birth`, but the
+    per-voxel class-weight tables come from one O(alive) scatter-add instead
+    of a slot-axis pool reduce, and insertion lands in free rows of the
+    compact array (per-voxel capacity exact, global row budget counted).
+
+    Shard_map fast path (``shard`` set): the class tables are computed from
+    this shard's owned rows and the per-point sums ``psum``-combined; every
+    shard derives the identical birth table from the identical RNG, and each
+    newborn candidate is inserted only by the shard owning its jittered
+    destination voxel (mirrors the pool path's sharded birth)."""
+    from .compact import _scatter_add_cols, insert_compact
+
+    n_b = cfg.newborn_particles_per_point
+    w_b = cfg.newborn_particle_weight if rt is None else rt.newborn_particle_weight
+    w_new = w_b * norm_coeff  # dsp_dynamic.h:798-805
+    Vs = cfg.storage_voxels
+    Pts = est_points.shape[0]
+
+    # --- per-voxel class tables (one O(alive) scatter-add) --------------
+    considered = (particles.flags != 0) & (particles.flags != FLAG_NEWBORN)
+    if cfg.motion_model == "static":
+        v_planes = ()
+    elif cfg.limit_motion_to_xy_plane:
+        v_planes = (particles.vx, particles.vy)
+    else:
+        v_planes = (particles.vx, particles.vy, particles.vz)
+    l1 = sum((jnp.abs(v) for v in v_planes),
+             jnp.zeros_like(particles.weight))
+    w_c = jnp.where(considered, particles.weight, 0.0)
+    wx_, wy_, wz_ = geometry.world_voxel_planar(
+        particles.px, particles.py, particles.pz, cfg
+    )
+    cell_p = geometry.storage_index_planar(wx_, wy_, wz_, cfg)
+    alive = particles.flags != 0
+    w_static_v, w_mid_v, w_dyn_v, count_v = _scatter_add_cols(
+        cell_p, alive,
+        (
+            jnp.where(considered & (l1 < 0.1), w_c, 0.0),
+            jnp.where(considered & (l1 >= 0.1) & (l1 < 0.5), w_c, 0.0),
+            jnp.where(considered & (l1 >= 0.5), w_c, 0.0),
+            alive,  # current occupancy (capacity baseline)
+        ),
+        Vs,
+    )
+
+    wv = geometry.world_voxel(est_points, cfg)
+    in_map = geometry.in_window(wv, origin, cfg)
+    point_valid = est_valid & in_map
+    cell_g = jnp.where(point_valid, geometry.storage_index(wv, cfg), 0)
+    if shard is None:
+        owned = point_valid
+        cell = cell_g
+    else:
+        owned = point_valid & shard.owns(cell_g, Vs)
+        cell = jnp.clip(cell_g - shard.lo, 0, Vs - 1)
+    w_static = jnp.where(owned, w_static_v[cell], 0.0)
+    w_mid = jnp.where(owned, w_mid_v[cell], 0.0)
+    w_dyn = jnp.where(owned, w_dyn_v[cell], 0.0)
+    if shard is not None:
+        w_static, w_mid, w_dyn = jax.lax.psum(
+            (w_static, w_mid, w_dyn), shard.axis
+        )
+
+    pos, vel = birth_table(
+        cfg, key, est_points, est_vel, est_dynamic,
+        w_static, w_mid, w_dyn, rt=rt,
+    )
+    births = Pts * n_b
+    valid = jnp.broadcast_to(point_valid[:, None], (Pts, n_b)).ravel()
+    new_particles, born, over = insert_compact(
+        particles, cfg,
+        pos=pos.reshape(births, 3),
+        vel=vel.reshape(births, 3),
+        weight=jnp.full((births,), w_new, jnp.float32),
+        valid=valid,
+        origin=origin,
+        flag=FLAG_NEWBORN,
+        t=update_time if cfg.record_particle_time else None,
+        count_v=count_v,
+        budget=cfg.birth_insert_budget,
+        shard=shard,
+    )
+    stats = {
+        "birth_candidates": jnp.sum(valid),
+        "born": born,
+        "newborn_weight": w_new,
+        "pool_overflow": over,
+    }
+    return new_particles, stats
+
+
 def particle_birth(
     particles,
     cfg: MapConfig,
@@ -182,57 +354,10 @@ def particle_birth(
             (w_static, w_mid, w_dyn), shard.axis
         )
 
-    total = w_static + w_mid + w_dyn
-    p_static = (2.0 * w_static + w_mid) * 0.5
-    p_dynamic = (2.0 * w_dyn + w_mid) * 0.5
-    p_static_norm = jnp.where(total > 0.0, p_static / (p_static + p_dynamic), 0.0)
-
-    n_model = cfg.model_newborns
-    n_static = jnp.maximum(
-        cfg.min_static_newborns,
-        jnp.floor(n_model * p_static_norm).astype(jnp.int32),
-    )  # [P]
-
-    # --- birth table [P, n_b] ------------------------------------------
-    key_p, key_v, key_u = jax.random.split(key, 3)
-    b = jnp.arange(n_b, dtype=jnp.int32)[None, :]  # [1, n_b]
-    pos = (
-        est_points[:, None, :]
-        + jax.random.normal(key_p, (P, n_b, 3), jnp.float32) * sigma_p
+    pos, vel = birth_table(
+        cfg, key, est_points, est_vel, est_dynamic,
+        w_static, w_mid, w_dyn, rt=rt,
     )
-
-    if cfg.motion_model == "static":
-        # dsp_static.h:804-824: every newborn is static, no DS arbitration.
-        vel = jnp.zeros((P, n_b, 3), jnp.float32)
-    else:
-        vel_known = est_vel[:, 0] > -100.0  # sentinel test (dsp_dynamic.h:881)
-        v_model = jnp.where(
-            est_dynamic[:, None, None],
-            est_vel[:, None, :]
-            + cfg.estimator_newborn_noise_gain
-            * sigma_v
-            * jax.random.normal(key_v, (P, n_b, 3), jnp.float32),
-            0.0,
-        )
-        span = jnp.asarray(
-            [cfg.random_newborn_vxy, cfg.random_newborn_vxy, cfg.random_newborn_vz],
-            jnp.float32,
-        )
-        v_random = jnp.where(
-            est_dynamic[:, None, None],
-            jax.random.uniform(key_u, (P, n_b, 3), jnp.float32, -1.0, 1.0) * span,
-            0.0,
-        )
-        is_static_b = b < n_static[:, None]
-        is_model_b = (~is_static_b) & vel_known[:, None] & (b < n_model)
-        vel = jnp.where(
-            is_static_b[:, :, None],
-            0.0,
-            jnp.where(is_model_b[:, :, None], v_model, v_random),
-        )
-        if cfg.limit_motion_to_xy_plane:
-            vel = vel.at[:, :, 2].set(0.0)  # dsp_dynamic.h:905-907
-
     births = P * n_b
     valid = jnp.broadcast_to(point_valid[:, None], (P, n_b)).ravel()
     new_particles = insert_particles(

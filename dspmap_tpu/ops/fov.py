@@ -73,8 +73,12 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
     ``apply_kill=False`` skips the kill flags scatter -- the caller merged
     the kill rows into an adjacent flags-plane write (rebin's mover
     scatter; one plane copy instead of two); the kill mask is still
-    computed here for the stats."""
-    S, V = pool_sv(particles.flags, cfg)
+    computed here for the stats.
+
+    Layout-agnostic: ``idx`` are flat positions into the particle store and
+    the drop sentinel is its total size -- ``S*V`` for the pool layout,
+    ``P`` for the compact layout (ops/compact.py)."""
+    total = particles.flags.size
     n_pyr, s_pyr, S_t = cfg.n_pyramids, cfg.pyramid_slots, cfg.dense_slots
     f_cap, p_cap = cfg.fov_buffer_capacity, cfg.particle_spill_capacity
     grid_cap = n_pyr * S_t
@@ -85,7 +89,7 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
 
     # Kill overflow particles (dsp_dynamic.h:1256-1259).
     if apply_kill:
-        kill_flat = jnp.where(kill, idx, S * V)
+        kill_flat = jnp.where(kill, idx, total)
         flags = pool_put(particles.flags, kill_flat,
                          jnp.broadcast_to(jnp.int32(0), kill_flat.shape))
     else:
@@ -121,7 +125,7 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
         axis=-1
     )  # [M, 7]
     fill = jnp.zeros((7,), jnp.float32).at[6].set(
-        jax.lax.bitcast_convert_type(jnp.int32(S * V) | 0x40000000,
+        jax.lax.bitcast_convert_type(jnp.int32(total) | 0x40000000,
                                      jnp.float32)
     )
     big = (
@@ -148,14 +152,14 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
         sp_w = jnp.where(sp_valid, w[sp_i], 0.0)
         sp_rng = jnp.where(sp_valid, rng_c[sp_i], 0.0)
         sp_pyr = jnp.where(sp_valid, cand_pyr[sp_i], n_pyr)
-        sp_slot = jnp.where(sp_valid, idx[sp_i], S * V)
+        sp_slot = jnp.where(sp_valid, idx[sp_i], total)
     else:
         sp_pos = jnp.zeros((p_cap, 3), jnp.float32)
         sp_w = jnp.zeros((p_cap,), jnp.float32)
         sp_rng = jnp.zeros((p_cap,), jnp.float32)
         sp_pyr = jnp.full((p_cap,), n_pyr, jnp.int32)
         sp_valid = jnp.zeros((p_cap,), bool)
-        sp_slot = jnp.full((p_cap,), S * V, jnp.int32)
+        sp_slot = jnp.full((p_cap,), total, jnp.int32)
         sp_over = jnp.int32(0)
 
     fovbin = FovBinning(

@@ -55,7 +55,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
-from .common import pool_put, pool_sv
+from .common import pool_put
 from .fov import FovBinning
 from .project import Observation
 
@@ -171,7 +171,7 @@ def measurement_update(
     collective SURVEY.md section 7.1.7 names; pass 2 and the weight
     writeback stay shard-local.  ``norm_coeff`` then comes out replicated.
     """
-    S, V = pool_sv(particles.flags, cfg)
+    total = particles.flags.size  # drop sentinel (layout-agnostic)
     n_pyr, Ko = cfg.n_pyramids, cfg.obs_dense
     S_t = cfg.dense_slots
     C = cfg.neighbor_cells
@@ -340,7 +340,7 @@ def measurement_update(
     new_w = jnp.where(updated, fovbin.weight * factor, fovbin.weight)
 
     # ---- write back into the pool -------------------------------------
-    slot = jnp.where(updated, fovbin.slot, S * V).ravel()
+    slot = jnp.where(updated, fovbin.slot, total).ravel()
     vals_w = new_w.ravel()
     n_updated = jnp.sum(updated)
     if have_psp:
@@ -348,7 +348,7 @@ def measurement_update(
         occ_sp = (mr_sp > 0.0) & (fovbin.sp_rng > mr_sp + cfg.occlusion_slack)
         upd_sp = fovbin.sp_mask & ~occ_sp
         slot = jnp.concatenate(
-            [slot, jnp.where(upd_sp, fovbin.sp_slot, S * V)]
+            [slot, jnp.where(upd_sp, fovbin.sp_slot, total)]
         )
         vals_w = jnp.concatenate(
             [vals_w, jnp.where(upd_sp, fovbin.sp_weight * factor_sp,

@@ -316,9 +316,12 @@ def init_state(
     origin_np = np.floor(
         (sensor_np - half) / cfg.voxel_resolution + 0.5
     ).astype(np.int32)
-    zeros = lambda: np.zeros((s, v), np.float32)
+    # Compact layout (cfg.layout == "compact", ops/compact.py): the live
+    # population rides one [P] SoA array instead of the [S, V] slot pool.
+    shape = (cfg.compact_capacity,) if cfg.layout == "compact" else (s, v)
+    zeros = lambda: np.zeros(shape, np.float32)
     particles = Particles(
-        flags=np.zeros((s, v), np.int32),
+        flags=np.zeros(shape, np.int32),
         px=zeros(), py=zeros(), pz=zeros(),
         vx=zeros(), vy=zeros(), vz=zeros(),
         weight=zeros(), t=zeros(),
@@ -376,15 +379,36 @@ def add_random_particles(
     elif cfg.limit_motion_to_xy_plane:
         vel = vel.at[:, 2].set(0.0)
     weight = jnp.full((num,), avg_weight, jnp.float32)
-    particles = insert_particles(
-        state.particles,
-        cfg,
-        pos=pos,
-        vel=vel,
-        weight=weight,
-        valid=jnp.ones((num,), bool),
-        origin=state.origin,
-        flag=FLAG_VALID,
-        t=state.update_time,
-    )
+    if cfg.layout == "compact":
+        from . import geometry
+        from .ops.compact import _scatter_add_cols, insert_compact
+
+        wx, wy, wz = geometry.world_voxel_planar(
+            state.particles.px, state.particles.py, state.particles.pz, cfg
+        )
+        cell = geometry.storage_index_planar(wx, wy, wz, cfg)
+        alive = state.particles.flags != 0
+        (count_v,) = _scatter_add_cols(cell, alive, (alive,),
+                                       cfg.storage_voxels)
+        particles, _, _ = insert_compact(
+            state.particles, cfg,
+            pos=pos, vel=vel, weight=weight,
+            valid=jnp.ones((num,), bool),
+            origin=state.origin,
+            flag=FLAG_VALID,
+            t=state.update_time if cfg.record_particle_time else None,
+            count_v=count_v,
+        )
+    else:
+        particles = insert_particles(
+            state.particles,
+            cfg,
+            pos=pos,
+            vel=vel,
+            weight=weight,
+            valid=jnp.ones((num,), bool),
+            origin=state.origin,
+            flag=FLAG_VALID,
+            t=state.update_time,
+        )
     return dataclasses.replace(state, particles=particles, rng=key)
