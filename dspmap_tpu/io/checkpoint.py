@@ -9,6 +9,20 @@ survives a save/load round trip bit-for-bit.
 Two backends: a dependency-free ``.npz`` writer (default) and orbax
 (``save_state(..., backend="orbax")``) for async/multi-host checkpointing of
 sharded states.
+
+Config-switch hazard (velocity-clamp invariant): the pipeline maintains
+"velocities conform to the motion model" as a *write-site* invariant (vz==0
+on every valid slot under ``limit_motion_to_xy_plane``, v==0 under the
+static model -- models/pipeline.py), and the Pallas occupancy kernel elides
+the invariant-zero planes from its I/O on the strength of it
+(ops/pallas/occupancy.py).  A state checkpointed under a *free-motion*
+config and resumed under a clamped one violates the invariant: dead slots
+(and, for the first frame, valid slots) may carry nonzero clamped
+components, which the elision would pass through as garbage on resample
+copies.  :func:`load_state` therefore re-applies the clamp for the
+template's config (``sanitize=True`` default) -- a no-op for matched
+configs, the exact reference clamp semantics (dsp_dynamic.h:661-663,
+dsp_static.h:640-646) for a config switch.
 """
 
 from __future__ import annotations
@@ -44,14 +58,22 @@ def save_state(state: MapState, path, backend: str = "npz") -> None:
     np.savez_compressed(path, **arrays)
 
 
-def load_state(template: MapState, path, backend: str = "npz") -> MapState:
-    """Restore into the structure of ``template`` (same config/shapes)."""
+def load_state(template: MapState, path, backend: str = "npz",
+               cfg=None, sanitize: bool = True) -> MapState:
+    """Restore into the structure of ``template`` (same config/shapes).
+
+    ``cfg`` (a :class:`~dspmap_tpu.config.MapConfig`) enables the
+    config-switch sanitizer (module docstring): the motion model's velocity
+    clamp is re-applied on load so the pipeline's clamp invariant holds even
+    for states written under a different motion model.  Pass
+    ``sanitize=False`` to skip (bit-exact restore)."""
     path = Path(path)
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path.resolve(), template)
+        state = ckptr.restore(path.resolve(), template)
+        return _sanitize(state, cfg) if sanitize else state
     leaves, treedef = _flatten_with_names(template)
     with np.load(path) as data:
         new_leaves = []
@@ -65,4 +87,24 @@ def load_state(template: MapState, path, backend: str = "npz") -> MapState:
                 )
             else:
                 new_leaves.append(arr)
-    return jax.tree.unflatten(treedef, new_leaves)
+    state = jax.tree.unflatten(treedef, new_leaves)
+    return _sanitize(state, cfg) if sanitize else state
+
+
+def _sanitize(state: MapState, cfg) -> MapState:
+    """Re-apply the motion model's velocity clamp (dsp_dynamic.h:661-663,
+    dsp_static.h:640-646) -- a no-op for states written under the same
+    config; restores the pipeline's clamp invariant after a config switch."""
+    import dataclasses
+
+    if cfg is None:
+        return state
+    p = state.particles
+    if cfg.motion_model == "static":
+        z = np.zeros_like(np.asarray(p.vx))
+        p = dataclasses.replace(p, vx=z, vy=z, vz=z)
+    elif cfg.limit_motion_to_xy_plane:
+        p = dataclasses.replace(p, vz=np.zeros_like(np.asarray(p.vz)))
+    else:
+        return state
+    return dataclasses.replace(state, particles=p)

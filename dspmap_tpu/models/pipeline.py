@@ -492,8 +492,14 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
     individually skipped inside the scan (its measurement stage is the
     identity), so one bad camera degrades coverage instead of poisoning the
     shared step.
+
+    ``cfg.layout == "compact"`` runs the same composition over the compact
+    particle core (ops/compact.py): one sweep/rebin, per-sensor FOV geometry
+    + registration + update + birth inside the scan, one occupancy pass.
     """
     cfg.validate()
+    if cfg.layout == "compact":
+        return _make_multisensor_step_compact(cfg, n_sensors)
 
     def step(state: MapState, frames: Frame):
         q_ok = jax.vmap(geometry.quaternion_is_valid)(frames.quat)  # [n]
@@ -607,6 +613,140 @@ def make_multisensor_step(cfg: MapConfig, n_sensors: int):
         return new_state, StepOutput(
             accepted=accepted, weight_sum=new_state.weight_sum, metrics=metrics,
             estimator_cloud=(),
+        )
+
+    return step
+
+
+def _make_multisensor_step_compact(cfg: MapConfig, n_sensors: int):
+    """Compact-layout multi-sensor fusion (see :func:`make_multisensor_step`
+    for the composition semantics -- sequential per-sensor measurement
+    stages, one shared prediction and occupancy pass)."""
+    from ..ops.compact import (fov_geometry_compact, occupancy_compact,
+                               rebin_compact, register_fov_compact,
+                               sweep_compact)
+    from ..ops.birth import particle_birth_compact
+
+    def step(state: MapState, frames: Frame):
+        q_ok = jax.vmap(geometry.quaternion_is_valid)(frames.quat)  # [n]
+        last_pos = jnp.where(
+            state.initialized, state.last_sensor_pos, frames.sensor_pos[0]
+        )
+        last_t = jnp.where(
+            state.initialized, state.last_timestamp, frames.timestamp[0]
+        )
+        delta_p = frames.sensor_pos[0] - last_pos
+        dt = frames.timestamp[0] - last_t
+        jump_ok = jnp.all(jnp.abs(delta_p) <= 10.0) & (dt >= 0.0) & (dt <= 10.0)
+        accepted = jnp.any(q_ok) & jump_ok
+
+        def run(state: MapState):
+            origin = geometry.window_origin(frames.sensor_pos[0], cfg)
+            keys = jax.random.split(state.rng, 4)
+            update_time = state.update_time + dt
+            rt = state.params
+
+            particles = state.particles
+            if cfg.motion_model == "static":
+                z = jnp.zeros_like(particles.vx)
+                particles = dataclasses.replace(particles, vx=z, vy=z, vz=z)
+            elif cfg.limit_motion_to_xy_plane:
+                particles = dataclasses.replace(
+                    particles, vz=jnp.zeros_like(particles.vz)
+                )
+            particles, sw = sweep_compact(
+                particles, cfg, dt, origin, frames.sensor_pos[0],
+                frames.quat[0], keys[0], rt=rt,
+            )
+            particles, _, _ = rebin_compact(particles, sw, cfg)
+
+            def sensor_stage(carry, inp):
+                particles, key = carry
+                frame, est_state, sensor_ok = inp
+                key, k_est, k_fov, k_birth = jax.random.split(key, 4)
+
+                def admit(operand):
+                    particles, est_state = operand
+                    point_valid = (
+                        jnp.arange(frame.points.shape[0], dtype=jnp.int32)
+                        < frame.n_points
+                    )
+                    obs = project_points(
+                        frame.points, point_valid, frame.sensor_pos,
+                        frame.quat, cfg
+                    )
+                    expected_newborn = (
+                        rt.newborn_particle_weight
+                        * obs.n_valid_points.astype(jnp.float32)
+                        * cfg.newborn_particles_per_point
+                    )
+                    est_out, est_state = estimate_velocities(
+                        obs.cloud_world, obs.cloud_valid, est_state, cfg, dt,
+                        k_est
+                    )
+                    pyr, fov_mask = fov_geometry_compact(
+                        particles, cfg, frame.sensor_pos, frame.quat
+                    )
+                    p2, fovbin, _ = register_fov_compact(
+                        particles, cfg, pyr, fov_mask, frame.sensor_pos,
+                        key=k_fov, rt=rt,
+                    )
+                    p2, norm_coeff, _ = measurement_update(
+                        p2, fovbin, obs, cfg, expected_newborn,
+                        update_time, rt=rt,
+                    )
+                    p2, _ = particle_birth_compact(
+                        p2, cfg, k_birth,
+                        est_points=est_out.points, est_vel=est_out.vel,
+                        est_dynamic=est_out.dynamic, est_valid=est_out.valid,
+                        norm_coeff=norm_coeff,
+                        origin=origin, update_time=update_time,
+                        rt=rt,
+                    )
+                    return p2, est_state
+
+                particles, est_state = jax.lax.cond(
+                    sensor_ok, admit, lambda op: op, (particles, est_state)
+                )
+                return (particles, key), est_state
+
+            (particles, _), est_state = jax.lax.scan(
+                sensor_stage,
+                (particles, keys[1]),
+                (frames, state.estimator, q_ok),
+            )
+
+            particles, weight_sum, vel_avg, future, occ_stats = (
+                occupancy_compact(particles, cfg, origin, state.future)
+            )
+            new_state = dataclasses.replace(
+                state,
+                particles=particles,
+                weight_sum=weight_sum,
+                vel_avg=vel_avg,
+                future=future,
+                rng=keys[3],
+                sensor_pos=frames.sensor_pos[0],
+                last_sensor_pos=frames.sensor_pos[0],
+                origin=origin,
+                update_time=update_time,
+                last_timestamp=frames.timestamp[0],
+                update_counter=state.update_counter + 1,
+                initialized=jnp.asarray(True),
+                estimator=est_state,
+            )
+            return new_state, occ_stats
+
+        def skip(state: MapState):
+            zero = jax.tree.map(
+                lambda x: jnp.zeros_like(x), jax.eval_shape(run, state)[1]
+            )
+            return state, zero
+
+        new_state, metrics = jax.lax.cond(accepted, run, skip, state)
+        return new_state, StepOutput(
+            accepted=accepted, weight_sum=new_state.weight_sum,
+            metrics=metrics, estimator_cloud=(),
         )
 
     return step

@@ -131,7 +131,7 @@ def particle_birth_compact(
     shard derives the identical birth table from the identical RNG, and each
     newborn candidate is inserted only by the shard owning its jittered
     destination voxel (mirrors the pool path's sharded birth)."""
-    from .compact import _scatter_add_cols, insert_compact
+    from .compact import insert_compact, segment_table
 
     n_b = cfg.newborn_particles_per_point
     w_b = cfg.newborn_particle_weight if rt is None else rt.newborn_particle_weight
@@ -155,7 +155,7 @@ def particle_birth_compact(
     )
     cell_p = geometry.storage_index_planar(wx_, wy_, wz_, cfg)
     alive = particles.flags != 0
-    w_static_v, w_mid_v, w_dyn_v, count_v = _scatter_add_cols(
+    w_static_v, w_mid_v, w_dyn_v, count_v = segment_table(
         cell_p, alive,
         (
             jnp.where(considered & (l1 < 0.1), w_c, 0.0),
@@ -164,6 +164,7 @@ def particle_birth_compact(
             alive,  # current occupancy (capacity baseline)
         ),
         Vs,
+        max_run=cfg.slots_per_voxel,
     )
 
     wv = geometry.world_voxel(est_points, cfg)

@@ -77,6 +77,132 @@ def _scatter_add_cols(cell, valid, cols, n_cells):
     return [out[:, i] for i in range(len(cols))]
 
 
+def _reach(max_run: int) -> int:
+    r = 1
+    while r < max_run:
+        r *= 2
+    return r
+
+
+def _seg_cumsum(x, is_start, max_run: int):
+    """Inclusive within-run prefix sums (segmented Hillis-Steele scan):
+    ``is_start`` marks run boundaries; sums reset at each boundary.
+
+    Run-LOCAL float precision (each run's sums never touch other runs'
+    mass -- a global cumsum + difference at run ends carries a relative
+    error amplified by total/run mass, measured 3e-4 on the street scene,
+    which systematically flips resample grid boundaries).  Only
+    ``ceil(log2(max_run))`` shifted-add steps are needed because no run of
+    *live* rows can exceed ``max_run`` (the per-voxel slot capacity S,
+    strictly enforced at every insert/rebin site); longer runs exist only
+    over dead rows, whose values are masked zeros -- a truncated sum of
+    zeros is still zero.  ~6 steps vs log2(P)=16 levels of a general
+    ``associative_scan`` (measured ~1.9 ms/frame of slice/pad traffic)."""
+    two_d = x.ndim == 2
+    s = x
+    b = is_start[:, None] if two_d else is_start
+    b = jnp.broadcast_to(b, x.shape) if two_d else b
+    d = 1
+    R = _reach(max_run)
+    while d < R:
+        pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+        ps = jnp.pad(s, pad)[:-d or None][: s.shape[0]]
+        pb = jnp.pad(b, pad, constant_values=True)[: s.shape[0]]
+        s = jnp.where(b, s, s + ps)
+        b = b | pb
+        d *= 2
+    return s
+
+
+def _fill_from_end(v, is_end, max_run: int):
+    """Broadcast each run's END value backward to every row of the run
+    (reverse hold-last-marked segmented scan, same short-run bound as
+    :func:`_seg_cumsum`)."""
+    two_d = v.ndim == 2
+    s = v
+    taken = is_end[:, None] if two_d else is_end
+    taken = jnp.broadcast_to(taken, v.shape) if two_d else taken
+    d = 1
+    R = _reach(max_run)
+    while d < R:
+        pad = [(0, d)] + [(0, 0)] * (v.ndim - 1)
+        ns = jnp.pad(s, pad)[d:]
+        nt = jnp.pad(taken, pad)[d:]
+        s = jnp.where(taken, s, ns)
+        taken = taken | nt
+        d *= 2
+    return s
+
+
+def segment_table(cell, valid, cols, n_cells, bucket: int = 16384,
+                  max_run: int = 64):
+    """Per-cell sums of ``cols`` into a ``[n_cells, C]`` table, exploiting the
+    compact array's near-sortedness.
+
+    A direct multi-column scatter-add serializes over every index row
+    (~13 ns/row measured -- ~1.7 ms at a 131k pool, the top line of the v1
+    device trace); but the array is cell-sorted after every occupancy pass
+    (the sort IS the defrag), and mid-frame disorder is only movers plus the
+    newborn tail.  Maximal equal-key runs therefore number about the
+    occupied-voxel count, and each run's partial sum is a difference of
+    cumulative sums taken at its end row.  Pipeline: cumsums over the
+    columns (cheap scans), run ends compacted to ``bucket`` rows, two
+    bucket-sized row gathers of the stacked cum matrix, one bucket-sized
+    scatter-ADD.  Exact for ARBITRARY key order (disorder only fragments
+    runs, and partials of the same cell accumulate); sign-agnostic (no
+    cummax fill on the data path).  A ``lax.switch`` widens the bucket
+    (up to a full-width direct scatter-add) when runs overflow, so the
+    result is exact in every regime.
+    """
+    P = cell.shape[0]
+    C = len(cols)
+    key = jnp.where(valid, cell, n_cells)
+    nxt = jnp.concatenate([key[1:] != key[:-1], jnp.ones((1,), bool)])
+    prv = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
+    is_end = nxt & (key < n_cells)
+    X = jnp.stack(
+        [jnp.where(valid, c, 0).astype(jnp.float32) for c in cols], axis=-1
+    )  # [P, C]
+    # SEGMENTED cumsum (run-local sums): a plain global cumsum + difference
+    # at run ends loses precision catastrophically -- the difference of two
+    # O(total-mass) values carries a relative error amplified by
+    # total/run-mass (measured 3e-4 on the street scene), which flips
+    # resample boundaries downstream.
+    cums = _seg_cumsum(X, prv, max_run)
+    n_ends = jnp.sum(is_end)
+
+    def bucketed(bud):
+        def run(_):
+            e_i, e_ok, _, _ = compact_mask(is_end, bud)
+            tbl = (
+                jnp.zeros((n_cells + 1, C), jnp.float32)
+                .at[jnp.where(e_ok, key[e_i], n_cells)]
+                .add(cums[e_i], mode="drop")[:n_cells]
+            )
+            return tbl
+        return run
+
+    def direct(_):
+        upd = jnp.stack(
+            [jnp.where(valid, c, 0).astype(jnp.float32) for c in cols],
+            axis=-1,
+        )
+        return (
+            jnp.zeros((n_cells + 1, C), jnp.float32)
+            .at[key]
+            .add(upd, mode="drop")[:n_cells]
+        )
+
+    sizes = [bucket]
+    while sizes[-1] * 2 < P:
+        sizes.append(sizes[-1] * 2)
+    case = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_ends)
+    tbl = jax.lax.switch(
+        case, [bucketed(b) for b in sizes] + [direct], 0
+    )
+    return [tbl[:, i] for i in range(C)]
+
+
 def sweep_compact(particles, cfg: MapConfig, dt, origin, sensor_pos, quat,
                   key, rt=None):
     """Prediction advance + window test + cell/pyramid geometry, one [P] pass
@@ -145,18 +271,26 @@ def rebin_compact(particles, sw: CompactSweep, cfg: MapConfig):
 
     Returns ``(new_particles, stay_count[Vs], stats)``; ``stay_count`` is
     per-voxel stayer occupancy, reused by callers.  Movers beyond
-    ``cfg.mover_capacity`` stay alive UNCHECKED against capacity (counted in
-    ``mover_overflow_unchecked``; the pool layout kills them instead --
-    documented budget deviation, the buffer is sized ~4x peak)."""
+    ``cfg.mover_capacity`` are killed (the pool layout's budget semantics,
+    ops/rebin.py; identified by an elementwise mover-rank cumsum, so the
+    per-voxel <= S occupancy invariant is STRICT -- the short-run segmented
+    scans rely on it)."""
     S = cfg.slots_per_voxel
     Vs = cfg.storage_voxels
     m_cap = cfg.mover_capacity
     alive = particles.flags != 0
 
     stayer = alive & ~sw.mover & (sw.cell < Vs)
-    (stay_count,) = _scatter_add_cols(sw.cell, stayer, (stayer,), Vs)
+    (stay_count,) = segment_table(sw.cell, stayer, (stayer,), Vs, max_run=S)
 
-    m_i, m_ok, n_mov, m_over = compact_mask(sw.mover & alive, m_cap)
+    mover = sw.mover & alive
+    # buffer-overflow movers killed outright (drop-on-full accounting);
+    # rank via plain cumsum keeps this elementwise
+    m_rank = jnp.cumsum(mover.astype(jnp.int32)) - 1
+    over_kill = mover & (m_rank >= m_cap)
+    mover_in = mover & ~over_kill
+
+    m_i, m_ok, n_mov, _ = compact_mask(mover_in, m_cap)
     m_cell = jnp.where(m_ok, sw.cell[m_i], Vs)
     order, sorted_cell, ranks = sort_by_destination(m_cell, m_ok)
     cell_safe = jnp.minimum(sorted_cell, Vs - 1)
@@ -164,14 +298,14 @@ def rebin_compact(particles, sw: CompactSweep, cfg: MapConfig):
         stay_count[cell_safe].astype(jnp.int32) + ranks >= S
     )
     kill_rows = jnp.where(kill_sorted, m_i[order], particles.flags.shape[0])
-    flags = particles.flags.at[kill_rows].set(jnp.int32(0), mode="drop")
+    flags = jnp.where(over_kill, jnp.int32(0), particles.flags)
+    flags = flags.at[kill_rows].set(jnp.int32(0), mode="drop")
 
     n_killed = jnp.sum(kill_sorted)
     stats = {
         "moved_out": jnp.sum(sw.moved_out),
         "movers": jnp.minimum(n_mov, m_cap),
-        "mover_overflow_killed": jnp.int32(0),
-        "mover_overflow_unchecked": m_over,
+        "mover_overflow_killed": jnp.sum(over_kill),
         "voxel_full_killed": n_killed,
     }
     return dataclasses.replace(particles, flags=flags), stay_count, stats
@@ -320,37 +454,65 @@ def insert_compact(particles, cfg: MapConfig, *, pos, vel, weight, valid,
         return run
 
     if budget < M:
-        # bucket specialization as in ops/insert.py: the budget branch runs
-        # every steady-state frame; burst frames fall through to full width.
+        # Prefix-bucket ladder as in ops/insert.py: every budget-sized stage
+        # (the two compactions, the payload row gather, the 8-9 row-indexed
+        # scatters) runs at the smallest power-of-two bucket holding the
+        # realized eligible count; burst frames fall through to full width.
+        sizes = [budget]
+        while sizes[0] > 2048:
+            sizes.insert(0, sizes[0] // 2)
         n_elig_total = jnp.sum(eligible)
-        return jax.lax.cond(
-            n_elig_total <= budget, branch(budget), branch(M), particles
+        case = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_elig_total)
+        return jax.lax.switch(
+            case, [branch(b) for b in sizes] + [branch(M)], particles
         )
     return branch(M)(particles)
+
+
+def _run_fills(x_cols, is_start, is_end, max_run):
+    """Per-row run-scan kit: returns ``(hi, tot)`` per column, where ``hi``
+    is the inclusive within-run prefix sum at each row and ``tot`` the run's
+    total broadcast to every row.  Segmented scans only -- no gathers, no
+    ``[n_cells]`` tables, run-local float precision (see
+    :func:`_seg_cumsum`)."""
+    X = jnp.stack(x_cols, axis=-1).astype(jnp.float32)  # [P, C]
+    hi = _seg_cumsum(X, is_start, max_run)
+    tot = _fill_from_end(hi, is_end, max_run)
+    return [hi[:, i] for i in range(len(x_cols))], [
+        tot[:, i] for i in range(len(x_cols))
+    ]
 
 
 def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
                       shard=None):
     """Cull + per-voxel aggregates + future scatter + systematic resampling
     over the compact set (``mapOccupancyCalculationAndResample``,
-    ``dsp_dynamic.h:924-1057``), writing a fresh defragmented (cell-sorted)
-    array.
+    ``dsp_dynamic.h:924-1057``).
 
     Semantics match ops/occupancy.py line for line: weight cull
     (``:941-942``), survivor weight sums / old-particle velocity means
     (``:944-948,968-984``), per-horizon future scatter of old particles
     (``:950-964``), per-voxel systematic resampling with mass-conserving
-    fold-back (``:986-1055``) and the newborn flag reset (``:968``).  The
-    in-voxel cumulative-weight walk runs on segment scans of the cell-sorted
-    population; copy placement respects the voxel's free-slot count
-    ``S - count + dropped`` exactly as the pool formulation's free-slot
-    pool.  In-voxel order is compact-row order (the pool layout uses slot
-    order, the reference its insert order -- all three are arbitrary; the
-    documented survival-semantics-not-scan-order deviation, SURVEY.md 7.3)."""
+    fold-back (``:986-1055``) and the newborn flag reset (``:968``).
+
+    O(alive) formulation (v2 -- the v1 design paid ~9 ms of [P]-row random
+    gathers/scatters building a defragmented output, docs/PERF.md round 5):
+    ONE stable sort by cell moves the live rows to a cell-grouped prefix
+    (the sort IS the defrag -- dead rows sort to the tail), ONE [P, F] row
+    gather realizes the sorted payload, and everything after is elementwise:
+    the in-voxel systematic walk evaluates on run scans
+    (:func:`_run_fills`), aggregates ride :func:`segment_table` (run ends ==
+    occupied voxels on the sorted array), and the output IS the sorted view
+    with flag/weight edits -- resample copies land in the few dropped holes
+    via one small scatter.  In-voxel order is compact-row order (the pool
+    layout uses slot order, the reference its insert order -- all three
+    arbitrary; the documented survival-semantics-not-scan-order deviation,
+    SURVEY.md 7.3)."""
     P = particles.flags.shape[0]
     S = cfg.slots_per_voxel
     Vs = cfg.storage_voxels
     T = cfg.n_horizons
+    with_t = bool(cfg.record_particle_time)
 
     w = particles.weight
     valid_in = particles.valid
@@ -367,29 +529,7 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
     )
     cell = geometry.storage_index_planar(wx, wy, wz, cfg)
 
-    # ---- per-voxel aggregates (one multi-column scatter-add) -----------
-    (weight_sum, n_old, svx, svy, svz, static_contrib, count) = (
-        _scatter_add_cols(
-            cell, valid,
-            (
-                jnp.where(valid, w, 0.0),
-                old,
-                jnp.where(old, particles.vx, 0.0),
-                jnp.where(old, particles.vy, 0.0),
-                jnp.where(old, particles.vz, 0.0),
-                jnp.where(old & ~moving, w, 0.0),
-                valid,
-            ),
-            Vs,
-        )
-    )
-    denom = jnp.maximum(n_old, 1.0)
-    vel_avg = jnp.stack([svx / denom, svy / denom, svz / denom], axis=-1) * (
-        n_old > 0
-    )[:, None]
-
-    # ---- future-status prediction (dsp_dynamic.h:950-964) --------------
-    future = future_in + static_contrib[None, :]
+    # ---- future-status movers (pre-resample weights, dsp_dynamic.h:950) --
     m_i, m_ok, n_moving, fm_over = compact_mask(moving, cfg.mover_capacity)
     m_px, m_py, m_pz = (particles.px[m_i], particles.py[m_i],
                         particles.pz[m_i])
@@ -400,6 +540,47 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
         (m_px, m_py, m_pz, m_vx, m_vy, m_vz, m_w, m_ok) = jax.tree.map(
             shard.gather_flat, (m_px, m_py, m_pz, m_vx, m_vy, m_vz, m_w, m_ok)
         )
+
+    # ---- the sort (defrag): valid rows first, grouped by cell ----------
+    key = jnp.where(valid, cell, I32_MAX)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    sorted_key, order = jax.lax.sort((key, iota), is_stable=True, num_keys=1)
+    pay_cols = [particles.px, particles.py, particles.pz,
+                particles.vx, particles.vy, particles.vz, w,
+                newborn.astype(jnp.float32)]
+    if with_t:
+        pay_cols.append(particles.t)
+    pay = jnp.stack(pay_cols, axis=-1)  # [P, F]
+    spay = pay[order]  # ONE row gather
+    valid_s = sorted_key < I32_MAX
+    cell_s = jnp.where(valid_s, sorted_key, Vs)
+    w_s = jnp.where(valid_s, spay[:, 6], 0.0)
+    nb_s = valid_s & (spay[:, 7] > 0.0)
+    old_s = valid_s & ~nb_s
+    mv_s = old_s & (
+        (spay[:, 3] != 0.0) | (spay[:, 4] != 0.0) | (spay[:, 5] != 0.0)
+    )
+
+    # ---- per-voxel aggregates (segment table over the sorted array) ----
+    weight_sum, n_old, svx, svy, svz, static_contrib = segment_table(
+        cell_s, valid_s,
+        (
+            w_s,
+            old_s,
+            jnp.where(old_s, spay[:, 3], 0.0),
+            jnp.where(old_s, spay[:, 4], 0.0),
+            jnp.where(old_s, spay[:, 5], 0.0),
+            jnp.where(old_s & ~mv_s, w_s, 0.0),
+        ),
+        Vs,
+    )
+    denom = jnp.maximum(n_old, 1.0)
+    vel_avg = jnp.stack([svx / denom, svy / denom, svz / denom], axis=-1) * (
+        n_old > 0
+    )[:, None]
+
+    # ---- future grid (dsp_dynamic.h:950-964) ---------------------------
+    future = future_in + static_contrib[None, :]
     taus = jnp.asarray(cfg.prediction_horizons, jnp.float32)
     fx = m_px[None, :] + m_vx[None, :] * taus[:, None]
     fy = m_py[None, :] + m_vy[None, :] * taus[:, None]
@@ -420,27 +601,20 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
         .reshape(T, Vs)
     )
 
-    # ---- systematic resampling on the cell-sorted population ----------
-    key = jnp.where(valid, cell, I32_MAX)
-    iota = jnp.arange(P, dtype=jnp.int32)
-    sorted_key, order, w_s = jax.lax.sort(
-        (key, iota, jnp.where(valid, w, 0.0)), is_stable=True, num_keys=1
-    )
-    valid_s = sorted_key < I32_MAX
-    cell_s = jnp.minimum(sorted_key, Vs - 1)
-
-    count_r = count[cell_s]
-    wsum_r = weight_sum[cell_s]
-    do_rs = valid_s & (count_r >= cfg.resample_min_count)
-    n_target = jnp.minimum(count_r, cfg.max_particles_per_voxel)
-    wa = jnp.where(do_rs, wsum_r / jnp.maximum(n_target, 1.0), 1.0)
-
-    cum = jnp.cumsum(w_s)
-    is_start = valid_s & jnp.concatenate(
+    # ---- systematic resampling on run scans (dsp_dynamic.h:986-1055) ---
+    is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
     )
-    base = jax.lax.cummax(jnp.where(is_start, cum - w_s, 0.0))
-    hi = cum - base
+    is_end = jnp.concatenate(
+        [sorted_key[1:] != sorted_key[:-1], jnp.ones((1,), bool)]
+    )
+    (hi_n, hi_w), (tot_n, tot_w) = _run_fills(
+        [valid_s.astype(jnp.float32), w_s], is_start, is_end, S
+    )
+    do_rs = valid_s & (tot_n >= cfg.resample_min_count)
+    n_target = jnp.minimum(tot_n, cfg.max_particles_per_voxel)
+    wa = jnp.where(do_rs, tot_w / jnp.maximum(n_target, 1.0), 1.0)
+    hi = hi_w
     lo = hi - w_s
 
     def n_grid(x):  # grid points wa*(k+1/2) strictly below x
@@ -452,75 +626,61 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
     extra = jnp.maximum(copies - 1, 0)
     survivor = valid_s & ~dropped
 
-    # per-voxel dropped/extra totals (second small scatter-add)
-    tot_dropped, tot_extra = _scatter_add_cols(
-        cell_s, valid_s, (dropped, extra), Vs
+    (hi_d, hi_e), (tot_d, tot_e) = _run_fills(
+        [dropped.astype(jnp.float32), extra.astype(jnp.float32)],
+        is_start, is_end, S,
     )
-    ce = jnp.cumsum(extra)
-    base_e = jax.lax.cummax(jnp.where(is_start, (ce - extra).astype(
-        jnp.float32), 0.0)).astype(jnp.int32)
-    demand_start = ce - extra - base_e
-    total_free = jnp.maximum(
-        S - count_r + tot_dropped[cell_s].astype(jnp.int32), 0
-    ).astype(jnp.int32)
-    placed = jnp.clip(total_free - demand_start, 0, extra)
+    demand_start = hi_e - extra
+    total_free = jnp.maximum(S - tot_n + tot_d, 0.0)
+    placed = jnp.clip(
+        (total_free - demand_start).astype(jnp.int32), 0, extra
+    )
     unplaced = (extra - placed).astype(jnp.float32)
     new_w = jnp.where(kept, wa * (1.0 + unplaced), w_s)
 
-    # ---- output construction (defragmented, cell-sorted) ---------------
-    surv_pos = jnp.cumsum(survivor.astype(jnp.int32)) - survivor
+    # ---- in-place output on the sorted view ----------------------------
     n_surv = jnp.sum(survivor)
-    copy_prefix = jnp.cumsum(placed) - placed
-    copy_start = n_surv + copy_prefix
+    flags_out = jnp.where(survivor, FLAG_VALID, jnp.int32(0))
+    pay_out = spay.at[:, 6].set(jnp.where(survivor, new_w, 0.0))
+
+    # resample copies into the dropped holes (few): one small scatter.
+    copy_cap = min(cfg.mover_capacity, P)
+    copy_start = jnp.cumsum(placed) - placed
     n_copies = jnp.sum(placed)
-    n_out = jnp.minimum(n_surv + n_copies, P)
+    cp_i, cp_ok, _, _ = compact_mask(placed > 0, copy_cap)
+    src0 = (
+        jnp.zeros((copy_cap,), jnp.int32)
+        .at[jnp.where(cp_ok, copy_start[cp_i], copy_cap)]
+        .max(cp_i, mode="drop", unique_indices=True)
+    )
+    src_fill = jax.lax.cummax(src0)  # sorted-row source per copy slot
+    hole_i, hole_ok, n_holes, _ = compact_mask(~survivor, copy_cap)
+    k = jnp.arange(copy_cap, dtype=jnp.int32)
+    n_placed = jnp.minimum(jnp.minimum(n_copies, n_holes), copy_cap)
+    make = k < n_placed
+    target = jnp.where(make, hole_i, P)
+    crow = pay_out[src_fill]  # [copy_cap, F] row gather
+    crow = crow.at[:, 6].set(wa[src_fill])
+    pay_out = pay_out.at[target].set(crow, mode="drop", unique_indices=True)
+    flags_out = flags_out.at[target].set(FLAG_VALID, mode="drop",
+                                         unique_indices=True)
 
-    src_surv = (
-        jnp.zeros((P,), jnp.int32)
-        .at[jnp.where(survivor, surv_pos, P)]
-        .set(iota, mode="drop", unique_indices=True)
-    )
-    src_copy = jax.lax.cummax(
-        jnp.zeros((P,), jnp.int32)
-        .at[jnp.where(placed > 0, copy_start, P)]
-        .max(iota, mode="drop", unique_indices=True)
-    )
-    is_copy = iota >= n_surv
-    src_sorted = jnp.where(is_copy, src_copy, src_surv)
-    out_valid = iota < n_out
-    orig = order[src_sorted]  # sorted position -> original row
-
-    pay = jnp.stack(
-        [particles.px, particles.py, particles.pz,
-         particles.vx, particles.vy, particles.vz]
-        + ([particles.t] if cfg.record_particle_time else []),
-        axis=0,
-    )  # [F, P]
-    got = pay[:, orig]  # [F, P] row gathers from the small stack
-    w_out = jnp.where(
-        out_valid, jnp.where(is_copy, wa[src_sorted], new_w[src_sorted]), 0.0
-    )
-    flags_out = jnp.where(out_valid, FLAG_VALID, jnp.int32(0))
-    z = jnp.zeros((P,), jnp.float32)
-    msk = lambda x: jnp.where(out_valid, x, 0.0)  # noqa: E731
     new_particles = dataclasses.replace(
         particles,
         flags=flags_out,
-        px=msk(got[0]), py=msk(got[1]), pz=msk(got[2]),
-        vx=msk(got[3]), vy=msk(got[4]), vz=msk(got[5]),
-        weight=w_out,
-        t=msk(got[6]) if cfg.record_particle_time else particles.t,
+        px=pay_out[:, 0], py=pay_out[:, 1], pz=pay_out[:, 2],
+        vx=pay_out[:, 3], vy=pay_out[:, 4], vz=pay_out[:, 5],
+        weight=pay_out[:, 6],
+        t=pay_out[:, 8] if with_t else particles.t,
     )
 
     stats = {
-        "alive": n_out,
+        "alive": n_surv + n_placed,
         "culled": jnp.sum(culled),
-        "resampled_voxels": jnp.sum(
-            (count >= cfg.resample_min_count) & (count > 0)
-        ).astype(jnp.int32),
+        "resampled_voxels": jnp.sum(is_end & do_rs).astype(jnp.int32),
         "resample_dropped": jnp.sum(dropped),
-        "resample_copies": n_copies,
-        "pool_overflow": (n_surv + n_copies) - n_out,
+        "resample_copies": n_placed,
+        "pool_overflow": n_copies - n_placed,
         "future_moving": jnp.minimum(n_moving, cfg.mover_capacity),
         "future_overflow": fm_over,
     }

@@ -96,10 +96,19 @@ def _bin_candidates(particles, cfg: MapConfig, sensor_pos, idx, cand_pyr,
         flags = particles.flags
 
     if cols is None:
-        px = pool_take(particles.px, idx)
-        py = pool_take(particles.py, idx)
-        pz = pool_take(particles.pz, idx)
-        w = pool_take(particles.weight, idx)
+        if particles.flags.ndim == 1 and particles.flags.size < (1 << 20):
+            # compact layout: the 4-plane stack costs four tiny [P] copies
+            # and the window gather pays its per-row cost once for all
+            # four fields (pool_take_stacked)
+            px, py, pz, w = pool_take_stacked(
+                [particles.px, particles.py, particles.pz,
+                 particles.weight], idx,
+            )
+        else:
+            px = pool_take(particles.px, idx)
+            py = pool_take(particles.py, idx)
+            pz = pool_take(particles.pz, idx)
+            w = pool_take(particles.weight, idx)
     else:
         px, py, pz, w = cols
     rng_c = jnp.sqrt(

@@ -367,13 +367,19 @@ def add_random_particles(
     ) * half
     vel = jax.random.uniform(k2, (num, 3), jnp.float32, -1.0, 1.0)
     # The reference clamps velocities inside every prediction pass BEFORE
-    # any use (vz=0 under LIMIT_MOVEMENT_IN_XY_PLANE, dsp_dynamic.h:661-663;
-    # v=0 entirely in the static model, dsp_static.h:640-646), so an init
-    # velocity the clamp would erase is unobservable.  Applying the clamp
-    # here -- at the only write site that can produce a non-conforming
-    # velocity -- lets the pipeline maintain "velocities conform" as a
-    # write-site invariant instead of re-clamping the whole pool every
-    # frame (a full plane pass, ~1.5 ms/frame at large_urban scale).
+    # they advance positions (vz=0 under LIMIT_MOVEMENT_IN_XY_PLANE,
+    # dsp_dynamic.h:661-663; v=0 entirely in the static model,
+    # dsp_static.h:640-646).  One exception exists for random-init pools:
+    # the keep-still noise gate |vx*vy*vz| >= 1e-6 (dsp_dynamic.h:653) runs
+    # BEFORE the vz clamp, so a random-init particle's nonzero vz triggers
+    # one vx/vy noise draw at its first prediction there -- our statically
+    # elided noise (see the documented noise-elision deviation in
+    # ops/propagate.py) skips that single first-frame draw.  Beyond that
+    # one draw the init velocity is unobservable, so clamping here -- at
+    # the only write site that can produce a non-conforming velocity --
+    # lets the pipeline maintain "velocities conform" as a write-site
+    # invariant instead of re-clamping the whole pool every frame (a full
+    # plane pass, ~1.5 ms/frame at large_urban scale).
     if cfg.motion_model == "static":
         vel = jnp.zeros_like(vel)
     elif cfg.limit_motion_to_xy_plane:
