@@ -328,15 +328,10 @@ def _make_step_compact(cfg: MapConfig, with_metrics: bool = True,
     (``ops/compact.py``): same call order as the pool-layout step
     (``DSPMap::update``, dsp_dynamic.h:181-353) with every pool pass
     replaced by O(alive) sorts/segment scans/scatter-adds."""
-    from ..ops.compact import (occupancy_compact, rebin_compact,
+    from ..ops.compact import (fov_geometry_compact, occupancy_compact,
+                               rebin_compact, rebin_exchange_compact,
                                register_fov_compact, sweep_compact)
     from ..ops.birth import particle_birth_compact
-
-    if shard is not None:
-        raise NotImplementedError(
-            "shard_map fast path over the compact layout: use "
-            "parallel.shard_step (pool layout) or layout='pool'"
-        )
 
     def step(state: MapState, frame: Frame):
         q_ok = geometry.quaternion_is_valid(frame.quat)
@@ -385,19 +380,40 @@ def _make_step_compact(cfg: MapConfig, with_metrics: bool = True,
                 )
 
             # -- prediction + rebin + FOV (dsp_dynamic.h:627-701,1206-1279)
+            k_sweep, k_fov = keys[1], keys[2]
+            if shard is not None and not (
+                cfg.limit_motion_to_xy_plane or cfg.motion_model == "static"
+            ):
+                # pool-shaped noise must differ per slab (see the pool
+                # branch's shard note)
+                sid = jax.lax.axis_index(shard.axis)
+                k_sweep = jax.random.fold_in(k_sweep, sid)
+                k_fov = jax.random.fold_in(k_fov, sid)
             particles, sw = sweep_compact(
                 particles, cfg, dt, origin, frame.sensor_pos, frame.quat,
-                keys[1], rt=rt,
+                k_sweep, rt=rt,
             )
-            particles, _, rebin_stats = rebin_compact(particles, sw, cfg)
+            if shard is None:
+                particles, _, rebin_stats = rebin_compact(particles, sw, cfg)
+                pyr, fov_mask = sw.pyr, sw.fov
+            else:
+                particles, rebin_stats = rebin_exchange_compact(
+                    particles, sw, cfg, shard
+                )
+                # arrivals changed the local population: recompute the FOV
+                # geometry elementwise (cheap at [P_local])
+                pyr, fov_mask = fov_geometry_compact(
+                    particles, cfg, frame.sensor_pos, frame.quat
+                )
             particles, fovbin, fov_stats = register_fov_compact(
-                particles, cfg, sw.pyr, sw.fov, frame.sensor_pos,
-                key=keys[2], rt=rt,
+                particles, cfg, pyr, fov_mask, frame.sensor_pos,
+                key=k_fov, rt=rt,
             )
 
             # -- measurement update (dsp_dynamic.h:704-793) -------------
             particles, norm_coeff, upd_stats = measurement_update(
                 particles, fovbin, obs, cfg, expected_newborn, update_time,
+                axis_name=None if shard is None else shard.axis,
                 rt=rt,
             )
 
@@ -412,11 +428,13 @@ def _make_step_compact(cfg: MapConfig, with_metrics: bool = True,
                 origin=origin,
                 update_time=update_time,
                 rt=rt,
+                shard=shard,
             )
 
             # -- occupancy + future + resample (dsp_dynamic.h:924-1057) -
             particles, weight_sum, vel_avg, future, occ_stats = (
-                occupancy_compact(particles, cfg, origin, state.future)
+                occupancy_compact(particles, cfg, origin, state.future,
+                                  shard=shard)
             )
 
             new_state = dataclasses.replace(
@@ -450,6 +468,12 @@ def _make_step_compact(cfg: MapConfig, with_metrics: bool = True,
                 )
             else:
                 metrics = {"alive": occ_stats["alive"]}
+            if shard is not None:
+                metrics = {
+                    k: (v if k in _REPLICATED_METRICS
+                        else jax.lax.psum(v, shard.axis))
+                    for k, v in metrics.items()
+                }
             cloud = (est_out.points, est_out.vel, est_out.dynamic, est_out.valid)
             return new_state, metrics, cloud
 

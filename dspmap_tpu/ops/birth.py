@@ -136,7 +136,10 @@ def particle_birth_compact(
     n_b = cfg.newborn_particles_per_point
     w_b = cfg.newborn_particle_weight if rt is None else rt.newborn_particle_weight
     w_new = w_b * norm_coeff  # dsp_dynamic.h:798-805
-    Vs = cfg.storage_voxels
+    # shard_map fast path: tables/cells are slab-local (see ops/compact.py)
+    Vs = (cfg.storage_voxels if shard is None
+          else cfg.storage_voxels // shard.n_shards)
+    lo = 0 if shard is None else shard.lo
     Pts = est_points.shape[0]
 
     # --- per-voxel class tables (one O(alive) scatter-add) --------------
@@ -153,7 +156,7 @@ def particle_birth_compact(
     wx_, wy_, wz_ = geometry.world_voxel_planar(
         particles.px, particles.py, particles.pz, cfg
     )
-    cell_p = geometry.storage_index_planar(wx_, wy_, wz_, cfg)
+    cell_p = geometry.storage_index_planar(wx_, wy_, wz_, cfg) - lo
     alive = particles.flags != 0
     w_static_v, w_mid_v, w_dyn_v, count_v = segment_table(
         cell_p, alive,

@@ -203,6 +203,41 @@ def segment_table(cell, valid, cols, n_cells, bucket: int = 16384,
     return [tbl[:, i] for i in range(C)]
 
 
+def _ends_table(cums, key, is_end, n_cells, X_direct, bucket: int = 16384):
+    """Scatter per-run totals (``cums`` = segmented cumsums, read at run
+    ends) into a ``[n_cells, C]`` table -- the tail half of
+    :func:`segment_table` for callers that already hold the segmented
+    cumsums.  ``X_direct`` supplies the raw per-row columns for the exact
+    full-width fallback when run ends overflow the bucket ladder."""
+    P = key.shape[0]
+    C = cums.shape[1]
+    n_ends = jnp.sum(is_end)
+
+    def bucketed(bud):
+        def run(_):
+            e_i, e_ok, _, _ = compact_mask(is_end, bud)
+            return (
+                jnp.zeros((n_cells + 1, C), jnp.float32)
+                .at[jnp.where(e_ok, key[e_i], n_cells)]
+                .add(cums[e_i], mode="drop")[:n_cells]
+            )
+        return run
+
+    def direct(_):
+        return (
+            jnp.zeros((n_cells + 1, C), jnp.float32)
+            .at[key]
+            .add(X_direct, mode="drop")[:n_cells]
+        )
+
+    sizes = [bucket]
+    while sizes[-1] * 2 < P:
+        sizes.append(sizes[-1] * 2)
+    case = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_ends)
+    tbl = jax.lax.switch(case, [bucketed(b) for b in sizes] + [direct], 0)
+    return [tbl[:, i] for i in range(C)]
+
+
 def sweep_compact(particles, cfg: MapConfig, dt, origin, sensor_pos, quat,
                   key, rt=None):
     """Prediction advance + window test + cell/pyramid geometry, one [P] pass
@@ -311,6 +346,124 @@ def rebin_compact(particles, sw: CompactSweep, cfg: MapConfig):
     return dataclasses.replace(particles, flags=flags), stay_count, stats
 
 
+def rebin_exchange_compact(particles, sw: CompactSweep, cfg: MapConfig,
+                           shard):
+    """Sharded relocation for the compact layout: within-slab movers are
+    capacity-checked in place (:func:`rebin_compact` semantics); cross-slab
+    movers vacate their local row, ride an ``all_gather`` (or
+    ``ppermute`` ring) of the compacted mover payload, and the owning shard
+    lands them in free rows behind its stayers' and within-movers' claims --
+    the bounded cross-slab traffic SURVEY.md section 7.1.7 names.  Arrival
+    order is shard-major behind local movers (documented deviation, same
+    class as the pool path's).  Returns ``(new_particles, stats)``."""
+    P = particles.flags.shape[0]
+    S = cfg.slots_per_voxel
+    v_local = cfg.storage_voxels // shard.n_shards
+    m_cap = cfg.mover_capacity
+    alive = particles.flags != 0
+    own = shard.owns(sw.cell, v_local)
+
+    mover = sw.mover & alive
+    within = mover & own
+    cross = mover & ~own & (sw.cell < cfg.storage_voxels)
+
+    stayer = alive & ~sw.mover
+    (stay_count,) = segment_table(
+        sw.cell - shard.lo, stayer, (stayer,), v_local, max_run=S
+    )
+
+    # within-slab capacity check (strict, as in rebin_compact)
+    w_rank = jnp.cumsum(within.astype(jnp.int32)) - 1
+    w_overkill = within & (w_rank >= m_cap)
+    within = within & ~w_overkill
+    w_i, w_ok, n_w, _ = compact_mask(within, m_cap)
+    w_cell = jnp.where(w_ok, sw.cell[w_i] - shard.lo, v_local)
+    order_w, sc_w, ranks_w = sort_by_destination(w_cell, w_ok)
+    kill_w = (sc_w < v_local) & (
+        stay_count[jnp.minimum(sc_w, v_local - 1)].astype(jnp.int32)
+        + ranks_w >= S
+    )
+    kill_rows = jnp.where(kill_w, w_i[order_w], P)
+
+    # cross-slab movers: vacate + exchange payload
+    c_rank = jnp.cumsum(cross.astype(jnp.int32)) - 1
+    c_overkill = cross & (c_rank >= m_cap)
+    cross = cross & ~c_overkill
+    c_i, c_ok, n_c, _ = compact_mask(cross, m_cap)
+    exp = (
+        jnp.where(c_ok, sw.cell[c_i], cfg.storage_voxels),
+        particles.px[c_i], particles.py[c_i], particles.pz[c_i],
+        particles.vx[c_i], particles.vy[c_i], particles.vz[c_i],
+        jnp.where(c_ok, particles.weight[c_i], 0.0),
+        c_ok,
+    )
+    flags = jnp.where(cross | c_overkill | w_overkill, jnp.int32(0),
+                      particles.flags)
+    flags = flags.at[kill_rows].set(jnp.int32(0), mode="drop")
+
+    if cfg.mover_exchange == "ring":
+        reach = shard.ring_reachable(
+            jnp.maximum(exp[0], 0), v_local, cfg.ring_hops
+        )
+        ring_undelivered = jnp.sum(exp[-1] & ~reach)
+        ex = lambda x: shard.gather_ring(x, cfg.ring_hops)  # noqa: E731
+    else:
+        ring_undelivered = jnp.int32(0)
+        ex = shard.gather_flat
+    (a_cell, a_px, a_py, a_pz, a_vx, a_vy, a_vz, a_w, a_ok) = jax.tree.map(
+        ex, exp
+    )
+    own_arr = a_ok & shard.owns(a_cell, v_local)
+
+    # land arrivals behind stayers + surviving within-movers: count the
+    # within-survivors per voxel with a small scatter-add
+    w_keep_sorted = (sc_w < v_local) & ~kill_w
+    count_after = (
+        stay_count.astype(jnp.int32)
+        .at[jnp.where(w_keep_sorted, sc_w, v_local)]
+        .add(1, mode="drop")
+    )
+
+    o_i, o_ok, n_own, o_over = compact_mask(own_arr, m_cap)
+    cell_l = jnp.where(o_ok, a_cell[o_i] - shard.lo, v_local)
+    order_a, sc_a, r_a = sort_by_destination(cell_l, o_ok)
+    eligible = (sc_a < v_local) & (
+        r_a < jnp.maximum(
+            S - count_after[jnp.minimum(sc_a, v_local - 1)], 0
+        )
+    )
+    free_rows, _, n_free, _ = compact_mask(flags == 0, m_cap)
+    elig_rank = jnp.cumsum(eligible.astype(jnp.int32)) - 1
+    land = eligible & (elig_rank < n_free)
+    row = jnp.where(land, free_rows[jnp.clip(elig_rank, 0, m_cap - 1)], P)
+    src = o_i[order_a]
+
+    def put(plane, vals):
+        return plane.at[row].set(vals, mode="drop", unique_indices=True)
+
+    flags = put(flags, jnp.where(land, FLAG_VALID, 0))
+    new_particles = dataclasses.replace(
+        particles,
+        flags=flags,
+        px=put(particles.px, a_px[src]),
+        py=put(particles.py, a_py[src]),
+        pz=put(particles.pz, a_pz[src]),
+        vx=put(particles.vx, a_vx[src]),
+        vy=put(particles.vy, a_vy[src]),
+        vz=put(particles.vz, a_vz[src]),
+        weight=put(particles.weight, a_w[src]),
+    )
+    n_landed = jnp.sum(land)
+    stats = {
+        "moved_out": jnp.sum(sw.moved_out),
+        "movers": n_w + n_c,
+        "mover_overflow_killed": jnp.sum(w_overkill) + jnp.sum(c_overkill)
+        + o_over + ring_undelivered,
+        "voxel_full_killed": jnp.sum(kill_w) + (n_own - n_landed),
+    }
+    return new_particles, stats
+
+
 def fov_geometry_compact(particles, cfg: MapConfig, sensor_pos, quat):
     """(pyramid cell [P], in-FOV mask [P]) of the compact set for one sensor
     pose -- the per-sensor half of :func:`sweep_compact`'s geometry, for
@@ -403,12 +556,11 @@ def insert_compact(particles, cfg: MapConfig, *, pos, vel, weight, valid,
         valid = valid & shard.owns(dest, Vs)
         dest = jnp.clip(dest - shard.lo, 0, Vs - 1)
     order, sorted_dest, ranks = sort_by_destination(dest, valid)
-    dest_safe = jnp.minimum(jnp.where(sorted_dest < I32_MAX, sorted_dest, 0),
-                            Vs - 1)
-    free_cap = jnp.maximum(
-        S - count_v[dest_safe].astype(jnp.int32), 0
-    )
-    eligible = (sorted_dest < I32_MAX) & (ranks < free_cap)
+    # Pre-filter by the UNCONDITIONAL capacity bound (rank < S needs no
+    # gather); the occupancy-dependent bound gathers ``count_v`` only for
+    # the compacted bucket rows (the [M]-wide random gather of the table
+    # measured 0.66 ms/frame at M=100k).
+    prefilter = (sorted_dest < I32_MAX) & (ranks < S)
 
     if budget is None:
         budget = M
@@ -416,12 +568,20 @@ def insert_compact(particles, cfg: MapConfig, *, pos, vel, weight, valid,
 
     def branch(bud):
         def run(particles):
-            c_pos, c_ok, n_elig, _ = compact_mask(eligible, bud)
+            c_pos, c_ok, _, _ = compact_mask(prefilter, bud)
+            dest_c = jnp.minimum(sorted_dest[c_pos], Vs - 1)
+            free_cap_c = jnp.maximum(
+                S - count_v[dest_c].astype(jnp.int32), 0
+            )
+            eligible = c_ok & (ranks[c_pos] < free_cap_c)
             free_rows, free_ok, n_free, _ = compact_mask(
                 particles.flags == 0, bud
             )
-            land = c_ok & (jnp.arange(bud, dtype=jnp.int32) < n_free)
-            row = jnp.where(land, free_rows, P)
+            elig_rank = jnp.cumsum(eligible.astype(jnp.int32)) - 1
+            land = eligible & (elig_rank < n_free)
+            row = jnp.where(
+                land, free_rows[jnp.clip(elig_rank, 0, bud - 1)], P
+            )
             src = order[c_pos]  # original candidate index
             pay = jnp.concatenate(
                 [pos, vel, weight[:, None]], axis=1
@@ -450,19 +610,20 @@ def insert_compact(particles, cfg: MapConfig, *, pos, vel, weight, valid,
                 t=tt,
             )
             n_landed = jnp.sum(land)
-            return new, n_landed, jnp.minimum(n_elig, bud) - n_landed
+            return new, n_landed, jnp.sum(eligible) - n_landed
         return run
 
     if budget < M:
         # Prefix-bucket ladder as in ops/insert.py: every budget-sized stage
         # (the two compactions, the payload row gather, the 8-9 row-indexed
         # scatters) runs at the smallest power-of-two bucket holding the
-        # realized eligible count; burst frames fall through to full width.
+        # realized pre-filtered count; burst frames fall through to full
+        # width.
         sizes = [budget]
         while sizes[0] > 2048:
             sizes.insert(0, sizes[0] // 2)
-        n_elig_total = jnp.sum(eligible)
-        case = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_elig_total)
+        n_pre = jnp.sum(prefilter)
+        case = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_pre)
         return jax.lax.switch(
             case, [branch(b) for b in sizes] + [branch(M)], particles
         )
@@ -510,7 +671,11 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
     SURVEY.md 7.3)."""
     P = particles.flags.shape[0]
     S = cfg.slots_per_voxel
-    Vs = cfg.storage_voxels
+    #: shard_map fast path: state tensors are this shard's slab; cells
+    #: localize by the slab offset (every valid row is owned -- the
+    #: rebin exchange maintains the invariant).
+    Vs = future_in.shape[1]
+    lo = 0 if shard is None else shard.lo
     T = cfg.n_horizons
     with_t = bool(cfg.record_particle_time)
 
@@ -527,7 +692,7 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
     wx, wy, wz = geometry.world_voxel_planar(
         particles.px, particles.py, particles.pz, cfg
     )
-    cell = geometry.storage_index_planar(wx, wy, wz, cfg)
+    cell = geometry.storage_index_planar(wx, wy, wz, cfg) - lo
 
     # ---- future-status movers (pre-resample weights, dsp_dynamic.h:950) --
     m_i, m_ok, n_moving, fm_over = compact_mask(moving, cfg.mover_capacity)
@@ -561,18 +726,36 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
         (spay[:, 3] != 0.0) | (spay[:, 4] != 0.0) | (spay[:, 5] != 0.0)
     )
 
-    # ---- per-voxel aggregates (segment table over the sorted array) ----
-    weight_sum, n_old, svx, svy, svz, static_contrib = segment_table(
-        cell_s, valid_s,
-        (
+    # ---- shared run boundaries (sorted: one run per occupied voxel) ----
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    is_end = jnp.concatenate(
+        [sorted_key[1:] != sorted_key[:-1], jnp.ones((1,), bool)]
+    ) & valid_s
+
+    # ---- one segmented-scan set feeds BOTH the per-voxel aggregate table
+    # (values read at run ends) and the resample walk (per-row prefixes) --
+    # merging the former segment_table call's scan, mask and switch away.
+    X7 = jnp.stack(
+        [
+            valid_s.astype(jnp.float32),
             w_s,
-            old_s,
+            old_s.astype(jnp.float32),
             jnp.where(old_s, spay[:, 3], 0.0),
             jnp.where(old_s, spay[:, 4], 0.0),
             jnp.where(old_s, spay[:, 5], 0.0),
             jnp.where(old_s & ~mv_s, w_s, 0.0),
-        ),
-        Vs,
+        ],
+        axis=-1,
+    )
+    hi7 = _seg_cumsum(X7, is_start, 2 * S)
+    hi_n, hi_w = hi7[:, 0], hi7[:, 1]
+    tot2 = _fill_from_end(hi7[:, :2], is_end, 2 * S)
+    tot_n, tot_w = tot2[:, 0], tot2[:, 1]
+
+    weight_sum, n_old, svx, svy, svz, static_contrib = _ends_table(
+        hi7[:, 1:], cell_s, is_end, Vs, X7[:, 1:]
     )
     denom = jnp.maximum(n_old, 1.0)
     vel_avg = jnp.stack([svx / denom, svy / denom, svz / denom], axis=-1) * (
@@ -602,15 +785,6 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
     )
 
     # ---- systematic resampling on run scans (dsp_dynamic.h:986-1055) ---
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
-    )
-    is_end = jnp.concatenate(
-        [sorted_key[1:] != sorted_key[:-1], jnp.ones((1,), bool)]
-    )
-    (hi_n, hi_w), (tot_n, tot_w) = _run_fills(
-        [valid_s.astype(jnp.float32), w_s], is_start, is_end, S
-    )
     do_rs = valid_s & (tot_n >= cfg.resample_min_count)
     n_target = jnp.minimum(tot_n, cfg.max_particles_per_voxel)
     wa = jnp.where(do_rs, tot_w / jnp.maximum(n_target, 1.0), 1.0)
@@ -628,7 +802,7 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
 
     (hi_d, hi_e), (tot_d, tot_e) = _run_fills(
         [dropped.astype(jnp.float32), extra.astype(jnp.float32)],
-        is_start, is_end, S,
+        is_start, is_end, 2 * S,
     )
     demand_start = hi_e - extra
     total_free = jnp.maximum(S - tot_n + tot_d, 0.0)

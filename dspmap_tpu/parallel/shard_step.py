@@ -63,6 +63,11 @@ def make_shardmap_step(cfg: MapConfig, mesh=None, with_metrics: bool = True):
     V = cfg.storage_voxels
     if V % n != 0:
         raise ValueError(f"storage_voxels {V} not divisible by mesh size {n}")
+    if cfg.layout == "compact" and cfg.compact_capacity % n != 0:
+        raise ValueError(
+            f"compact_capacity {cfg.compact_capacity} not divisible by "
+            f"mesh size {n}"
+        )
     v_local = V // n
 
     def body(state, frame):

@@ -55,6 +55,8 @@ def make_mesh(devices: Sequence[jax.Device] | int | None = None) -> Mesh:
 def state_shardings(mesh: Mesh, state: MapState) -> MapState:
     """A ``MapState``-shaped pytree of ``NamedSharding``s: voxel-axis tensors
     sharded along ``map``, everything else replicated."""
+    pflags = state.particles.flags
+
     def spec_for(leaf):
         shape = leaf.shape
         # [S, V] particle fields and the horizon-major [T, V] future grid
@@ -63,6 +65,15 @@ def state_shardings(mesh: Mesh, state: MapState) -> MapState:
         # [V], [V, 3] voxel aggregates
         if len(shape) >= 1 and shape[0] == state.weight_sum.shape[0]:
             return P(MAP_AXIS, *([None] * (len(shape) - 1)))
+        # compact layout: [P] particle rows shard along the map axis (each
+        # shard's rows hold its slab's particles -- the rebin exchange
+        # maintains the ownership invariant)
+        if (
+            len(pflags.shape) == 1
+            and len(shape) == 1
+            and shape[0] == pflags.shape[0]
+        ):
+            return P(MAP_AXIS)
         return P()  # replicated scalars / estimator / rng
 
     return jax.tree.map(
