@@ -80,6 +80,41 @@ def _bench_config(dm, sim, jax, jnp, cfg, n_warmup=3, n_bench=30, seed=0):
     return n_bench / dt, int(out.metrics["alive"])
 
 
+def _bench_multisensor(dm, sim, jax, jnp, n_sensors=2, n_warmup=3,
+                       n_bench=20, seed=0):
+    """Two-camera fusion on the flagship map (BASELINE config 5): each frame
+    carries the same scene cloud from two poses; make_multisensor_step runs
+    the measurement stage sequentially per sensor."""
+    import numpy as np
+    from dspmap_tpu.models.pipeline import (init_multisensor_state,
+                                            make_multisensor_step)
+
+    cfg = dm.example_node_settings(dm.dsp_dynamic())
+    state = init_multisensor_state(cfg, n_sensors, jax.random.key(0))
+    step = jax.jit(make_multisensor_step(cfg, n_sensors), donate_argnums=0)
+    frames = []
+    for p, n, pos, q, t in sim.generate_sequence(
+        n_warmup + n_bench, cfg, seed=seed
+    ):
+        frames.append(dm.Frame(
+            points=jnp.broadcast_to(jnp.asarray(p), (n_sensors,) + p.shape),
+            n_points=jnp.full((n_sensors,), n, jnp.int32),
+            sensor_pos=jnp.broadcast_to(jnp.asarray(pos), (n_sensors, 3)),
+            quat=jnp.broadcast_to(jnp.asarray(q), (n_sensors, 4)),
+            timestamp=jnp.full((n_sensors,), t, jnp.float32),
+        ))
+    for f in frames[:n_warmup]:
+        state, out = step(state, f)
+    jax.block_until_ready(out)
+    float(jnp.sum(out.weight_sum))
+    t0 = time.perf_counter()
+    for f in frames[n_warmup:]:
+        state, out = step(state, f)
+    float(jnp.sum(out.weight_sum))
+    dt = time.perf_counter() - t0
+    return n_bench / dt, int(out.metrics["alive"])
+
+
 def _measure() -> None:
     import jax
     import jax.numpy as jnp
@@ -143,6 +178,15 @@ def _measure() -> None:
                 entry["vs_reference_cpu"] = round(u * REF_MS[name] / 1e3, 2)
             detail[name] = entry
             print(f"# {name}: {json.dumps(entry)}", file=sys.stderr)
+        u, a = _bench_multisensor(dm, sim, jax, jnp)
+        detail["multisensor_2cam"] = {
+            "updates_per_sec": round(u, 2),
+            "frame_ms": round(1e3 / u, 2),
+            "alive": a,
+            "particles_per_sec": round(u * a),
+        }
+        print(f"# multisensor_2cam: {json.dumps(detail['multisensor_2cam'])}",
+              file=sys.stderr)
         (Path(__file__).parent / "BENCH_DETAIL.json").write_text(
             json.dumps(detail, indent=1)
         )

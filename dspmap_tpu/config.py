@@ -273,10 +273,15 @@ class MapConfig:
 
     @property
     def compact_capacity(self) -> int:
-        """Row count P of the compact particle array (see ``layout``)."""
+        """Row count P of the compact particle array (see ``layout``).
+
+        Default 2^16 = ~3x the flagship street scene's steady-state alive
+        population; every per-row cost in the compact core scales with P
+        (docs/PERF.md round 5), so keep it tight and watch
+        ``metrics["pool_overflow"]``."""
         if self.particle_capacity is not None:
             return self.particle_capacity
-        return min(self.slots_per_voxel * self.storage_voxels, 1 << 17)
+        return min(self.slots_per_voxel * self.storage_voxels, 1 << 16)
 
     @property
     def n_pyramids_h(self) -> int:
@@ -585,6 +590,15 @@ def large_urban(**overrides) -> MapConfig:
         # At 54M slots the XLA sweep is VPU-bound on the toroidal index
         # arithmetic (~12 ms of geometry+select fusions, round-4 trace);
         # the fused Pallas sweep kernel measured 85.3 -> 81.5 ms/frame.
+        # (Pool-layout setting; ignored under the compact layout below.)
         use_pallas_sweep=True,
+        # The alive-proportional compact layout wins decisively at this
+        # scale: the pool layout streams the 54M-slot planes every pass
+        # (66.9 ms/frame, round-4), while the live population is ~50k --
+        # compact measured 37.4 ms/frame on the same driver protocol
+        # (round 5).  131072 rows = ~2.5x the realized population;
+        # overflow is counted (metrics["pool_overflow"]).
+        layout="compact",
+        particle_capacity=1 << 17,
     )
     return dataclasses.replace(cfg, **overrides).validate()

@@ -134,6 +134,30 @@ def _fill_from_end(v, is_end, max_run: int):
     return s
 
 
+def seg_scans(cols, is_start, is_end, max_run: int, n_tot: int):
+    """(hi per column, tot for the first ``n_tot`` columns): the segmented
+    scan pair, dispatched to ONE Pallas kernel on TPU (the XLA lowering
+    spends ~3-4 ops per shifted-add step at ~15-60 us fixed cost each on
+    the tunneled part -- docs/PERF.md round 5; ops/pallas/segscan.py runs
+    the identical recurrence bit-exactly in one dispatch)."""
+    P = cols[0].shape[0]
+    if (
+        jax.default_backend() not in ("cpu",)
+        and P % 128 == 0
+        and _reach(max_run) <= 128
+    ):
+        from .pallas.segscan import seg_scans_pallas
+
+        return seg_scans_pallas(cols, is_start, is_end, max_run, n_tot)
+    X = jnp.stack([c.astype(jnp.float32) for c in cols], axis=-1)
+    hi = _seg_cumsum(X, is_start, max_run)
+    his = [hi[:, i] for i in range(len(cols))]
+    if n_tot == 0:
+        return his, []
+    tot = _fill_from_end(hi[:, :n_tot], is_end, max_run)
+    return his, [tot[:, i] for i in range(n_tot)]
+
+
 def segment_table(cell, valid, cols, n_cells, bucket: int = 16384,
                   max_run: int = 64):
     """Per-cell sums of ``cols`` into a ``[n_cells, C]`` table, exploiting the
@@ -160,15 +184,15 @@ def segment_table(cell, valid, cols, n_cells, bucket: int = 16384,
     nxt = jnp.concatenate([key[1:] != key[:-1], jnp.ones((1,), bool)])
     prv = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
     is_end = nxt & (key < n_cells)
-    X = jnp.stack(
-        [jnp.where(valid, c, 0).astype(jnp.float32) for c in cols], axis=-1
-    )  # [P, C]
     # SEGMENTED cumsum (run-local sums): a plain global cumsum + difference
     # at run ends loses precision catastrophically -- the difference of two
     # O(total-mass) values carries a relative error amplified by
     # total/run-mass (measured 3e-4 on the street scene), which flips
     # resample boundaries downstream.
-    cums = _seg_cumsum(X, prv, max_run)
+    his, _ = seg_scans(
+        [jnp.where(valid, c, 0) for c in cols], prv, nxt, max_run, 0
+    )
+    cums = jnp.stack(his, axis=-1)  # [P, C]
     n_ends = jnp.sum(is_end)
 
     def bucketed(bud):
@@ -633,15 +657,9 @@ def insert_compact(particles, cfg: MapConfig, *, pos, vel, weight, valid,
 def _run_fills(x_cols, is_start, is_end, max_run):
     """Per-row run-scan kit: returns ``(hi, tot)`` per column, where ``hi``
     is the inclusive within-run prefix sum at each row and ``tot`` the run's
-    total broadcast to every row.  Segmented scans only -- no gathers, no
-    ``[n_cells]`` tables, run-local float precision (see
-    :func:`_seg_cumsum`)."""
-    X = jnp.stack(x_cols, axis=-1).astype(jnp.float32)  # [P, C]
-    hi = _seg_cumsum(X, is_start, max_run)
-    tot = _fill_from_end(hi, is_end, max_run)
-    return [hi[:, i] for i in range(len(x_cols))], [
-        tot[:, i] for i in range(len(x_cols))
-    ]
+    total broadcast to every row (dispatches to the segscan kernel on TPU,
+    :func:`seg_scans`)."""
+    return seg_scans(x_cols, is_start, is_end, max_run, len(x_cols))
 
 
 def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
@@ -737,25 +755,22 @@ def occupancy_compact(particles, cfg: MapConfig, origin, future_in,
     # ---- one segmented-scan set feeds BOTH the per-voxel aggregate table
     # (values read at run ends) and the resample walk (per-row prefixes) --
     # merging the former segment_table call's scan, mask and switch away.
-    X7 = jnp.stack(
-        [
-            valid_s.astype(jnp.float32),
-            w_s,
-            old_s.astype(jnp.float32),
-            jnp.where(old_s, spay[:, 3], 0.0),
-            jnp.where(old_s, spay[:, 4], 0.0),
-            jnp.where(old_s, spay[:, 5], 0.0),
-            jnp.where(old_s & ~mv_s, w_s, 0.0),
-        ],
-        axis=-1,
-    )
-    hi7 = _seg_cumsum(X7, is_start, 2 * S)
-    hi_n, hi_w = hi7[:, 0], hi7[:, 1]
-    tot2 = _fill_from_end(hi7[:, :2], is_end, 2 * S)
-    tot_n, tot_w = tot2[:, 0], tot2[:, 1]
+    cols7 = [
+        valid_s.astype(jnp.float32),
+        w_s,
+        old_s.astype(jnp.float32),
+        jnp.where(old_s, spay[:, 3], 0.0),
+        jnp.where(old_s, spay[:, 4], 0.0),
+        jnp.where(old_s, spay[:, 5], 0.0),
+        jnp.where(old_s & ~mv_s, w_s, 0.0),
+    ]
+    his7, tots2 = seg_scans(cols7, is_start, is_end, 2 * S, 2)
+    hi_n, hi_w = his7[0], his7[1]
+    tot_n, tot_w = tots2[0], tots2[1]
 
     weight_sum, n_old, svx, svy, svz, static_contrib = _ends_table(
-        hi7[:, 1:], cell_s, is_end, Vs, X7[:, 1:]
+        jnp.stack(his7[1:], axis=-1), cell_s, is_end, Vs,
+        jnp.stack(cols7[1:], axis=-1),
     )
     denom = jnp.maximum(n_old, 1.0)
     vel_avg = jnp.stack([svx / denom, svy / denom, svz / denom], axis=-1) * (

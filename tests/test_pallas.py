@@ -260,3 +260,44 @@ def test_relayout_round_trip_interpret():
         np.testing.assert_array_equal(np.asarray(f), np.asarray(plane).ravel())
         r = from_flat(f, S, V, interpret=True)
         np.testing.assert_array_equal(np.asarray(r), np.asarray(plane))
+
+
+def test_segscan_kernel_matches_xla_bit_exact():
+    """ops/pallas/segscan.py: the segmented-scan kernel runs the identical
+    Hillis-Steele recurrence -- bit-equal hi/tot vs the XLA helpers
+    (interpret mode; fragmented runs + dead tail)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import dspmap_tpu.ops.pallas.segscan as sg
+    from dspmap_tpu.ops.compact import _seg_cumsum, _fill_from_end
+
+    old = sg.INTERPRET
+    sg.INTERPRET = True
+    try:
+        rng = np.random.default_rng(3)
+        P = 1024
+        key = np.sort(rng.integers(0, 200, P))
+        key[-100:] = 10**6
+        # fragment a few runs (mid-frame disorder)
+        key[100:110] = 7
+        is_start = np.concatenate([[True], key[1:] != key[:-1]])
+        is_end = np.concatenate([key[1:] != key[:-1], [True]]) & (key < 10**6)
+        cols = [jnp.asarray(rng.uniform(0, 1, P), jnp.float32)
+                for _ in range(3)]
+        his_p, tots_p = sg.seg_scans_pallas(
+            cols, jnp.asarray(is_start), jnp.asarray(is_end), 32, 2
+        )
+        X = jnp.stack(cols, -1)
+        hi_x = _seg_cumsum(X, jnp.asarray(is_start), 32)
+        tot_x = _fill_from_end(hi_x[:, :2], jnp.asarray(is_end), 32)
+        for c in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(his_p[c]), np.asarray(hi_x[:, c])
+            )
+        m = key < 10**6
+        for c in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(tots_p[c])[m], np.asarray(tot_x[:, c])[m]
+            )
+    finally:
+        sg.INTERPRET = old

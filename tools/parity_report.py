@@ -68,6 +68,25 @@ def main():
               f"{per_frame[10:,0].mean():.3f} ref-matched "
               f"{per_frame[10:,1].mean():.3f}", flush=True)
 
+    # --- no-decay assertion: agreement over the run's final third must sit
+    # within a noise band of the early-steady-state window.  The runs use
+    # different RNG streams by design, so per-window agreement fluctuates;
+    # genuine filter drift would show as a monotone slide (round-4 verdict
+    # item 3 flagged a seed-5 last-20 dip the old 100-frame table could not
+    # distinguish from noise).
+    decay_rows = []
+    for seed, pf in rows:
+        early = pf[10:30, :2].mean(axis=0)
+        late = pf[-(args.frames // 3):, :2].mean(axis=0)
+        decay_rows.append((seed, early, late))
+    worst = max(
+        float(max(e[0] - l[0], e[1] - l[1])) for _, e, l in decay_rows
+    )
+    decay_ok = worst <= 0.06
+    print(f"worst early->late agreement drop: {worst:.3f} "
+          f"({'OK' if decay_ok else 'DECAY'})")
+
+    third = args.frames // 3
     lines = [
         "# PARITY — long-horizon occupancy agreement vs the compiled reference",
         "",
@@ -77,17 +96,23 @@ def main():
         "versa).  Different RNG streams by design; agreement should be high",
         "and NOT decay over time (no drift).",
         "",
-        "| seed | frames 10-30 | frames 40-60 | last 20 | (ours / ref matched) |",
+        "| seed | frames 10-30 | middle third | final third | last 20 |",
         "|---|---|---|---|---|",
     ]
     for seed, pf in rows:
         def fmt(sl):
             return f"{pf[sl, 0].mean():.3f} / {pf[sl, 1].mean():.3f}"
         lines.append(
-            f"| {seed} | {fmt(slice(10, 30))} | {fmt(slice(40, 60))} | "
-            f"{fmt(slice(-20, None))} | |"
+            f"| {seed} | {fmt(slice(10, 30))} | {fmt(slice(third, 2 * third))} | "
+            f"{fmt(slice(-third, None))} | {fmt(slice(-20, None))} |"
         )
     lines += [
+        "",
+        f"No-decay check: worst early(10-30) -> final-third drop across seeds "
+        f"= **{worst:.3f}** (gate: <= 0.06 -- "
+        + ("PASS" if decay_ok else "FAIL") + ").  Window-to-window wobble at "
+        "this scale is RNG-stream noise (both runs draw different streams); "
+        "drift would be a monotone slide growing with horizon.",
         "",
         f"Mean occupied-voxel counts (ours vs reference, last 20 frames): "
         + ", ".join(
@@ -95,10 +120,13 @@ def main():
             for s, pf in rows
         ),
         "",
-        "Generated by tools/parity_report.py.",
+        f"Generated by tools/parity_report.py --frames {args.frames} "
+        f"--seeds {' '.join(map(str, args.seeds))}.",
     ]
     (REPO / "docs" / "PARITY.md").write_text("\n".join(lines) + "\n")
     print("wrote docs/PARITY.md")
+    if not decay_ok:
+        sys.exit(2)
 
 
 if __name__ == "__main__":
