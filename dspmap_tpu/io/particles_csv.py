@@ -32,15 +32,25 @@ def export_particles_csv(state: MapState, cfg: MapConfig, path) -> int:
 
     # ego voxel index in the reference convention (z*ny*nx + y*nx + x from the
     # window's low corner, dsp_dynamic.h:1062-1074)
-    S, V = valid.shape
-    storage = np.tile(np.arange(V, dtype=np.int64), (S, 1))
-    sx = storage % cfg.nx
-    sy = (storage // cfg.nx) % cfg.ny
-    sz = storage // (cfg.nx * cfg.ny)
-    dims = np.array([cfg.nx, cfg.ny, cfg.nz])
-    s = np.stack([sx, sy, sz], -1)
-    wv = origin + np.mod(s - origin, dims)
-    ego = wv - origin
+    if valid.ndim == 2:
+        # pool layout: the storage cell is the plane column
+        S, V = valid.shape
+        storage = np.tile(np.arange(V, dtype=np.int64), (S, 1))
+        sx = storage % cfg.nx
+        sy = (storage // cfg.nx) % cfg.ny
+        sz = storage // (cfg.nx * cfg.ny)
+        dims = np.array([cfg.nx, cfg.ny, cfg.nz])
+        s = np.stack([sx, sy, sz], -1)
+        wv = origin + np.mod(s - origin, dims)
+        ego = wv - origin
+    else:
+        # compact layout (cfg.layout == "compact"): cells derive from the
+        # world positions, exactly as the pipeline derives them
+        pos = np.stack(
+            [np.asarray(p.px), np.asarray(p.py), np.asarray(p.pz)], -1
+        )
+        wv = np.floor(pos / cfg.voxel_resolution).astype(np.int64)
+        ego = wv - origin
     ego_idx = (ego[..., 2] * cfg.ny + ego[..., 1]) * cfg.nx + ego[..., 0]
 
     rows = np.column_stack(

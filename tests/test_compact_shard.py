@@ -111,3 +111,84 @@ def test_shardmap_compact_multi_neighbor_variant():
     )
     assert bool(o1.accepted)
     assert int(o1.metrics["alive"]) > 0
+
+
+def test_ring_exchange_kills_beyond_hops_movers():
+    """Round-4 verdict item 4: a mover whose destination slab is further
+    than ring_hops must be KILLED AND COUNTED by the ring exchange (the
+    all_gather path must deliver the same mover).  Self-motion is the only
+    cross-slab traffic in the toroidal design (ego motion moves the window,
+    not the cells), so the violating regime is a particle velocity crossing
+    several z-slabs in one frame."""
+    import dataclasses
+
+    n = 4
+    cfg = dm.example_node_settings(dm.dsp_dynamic(
+        nx=16, ny=16, nz=16, voxel_resolution=0.25, max_input_points=256,
+        mover_capacity=1024, pyramid_slot_capacity=32, max_clusters=8,
+        layout="compact", particle_capacity=4096,
+        limit_motion_to_xy_plane=False,  # need vertical motion
+        mover_exchange="ring", ring_hops=1,
+        estimator_enabled=False,
+    ))
+    mesh = make_mesh(n)
+    P = cfg.compact_capacity
+    p_loc = P // n
+
+    from dspmap_tpu import geometry
+
+    frames = _frames(cfg, 2, speed=0.0)
+    pos0 = np.asarray(frames[0].sensor_pos)
+    origin = np.asarray(geometry.window_origin(
+        jnp.asarray(pos0), cfg
+    ))
+    # find a window z whose storage z-row sits in slab 0 and whose +8-row
+    # destination stays inside the window (slab = z_row // 4 exactly: each
+    # z-row is 256 cells and v_local = 1024)
+    rel_z = next(
+        r for r in range(8) if ((origin[2] + r) % cfg.nz) // 4 == 0
+    )
+    src_row_block = 0  # slab 0 owns rows [0, p_loc)
+    z0 = (origin[2] + rel_z + 0.5) * cfg.voxel_resolution
+
+    def seeded_state(exchange):
+        c = dataclasses.replace(cfg, mover_exchange=exchange)
+        state = dm.init_state(c, jax.random.key(0))
+        p = state.particles
+        flags = np.asarray(p.flags).copy()
+        px = np.asarray(p.px).copy(); py = np.asarray(p.py).copy()
+        pz = np.asarray(p.pz).copy(); vz = np.asarray(p.vz).copy()
+        w = np.asarray(p.weight).copy()
+        i = src_row_block
+        flags[i] = 1
+        px[i] = (origin[0] + 8.5) * cfg.voxel_resolution
+        py[i] = (origin[1] + 8.5) * cfg.voxel_resolution
+        pz[i] = z0
+        vz[i] = 8 * cfg.voxel_resolution / 0.1  # +8 z-rows per 0.1 s frame
+        w[i] = 5.0
+        particles = dataclasses.replace(
+            p, flags=jnp.asarray(flags), px=jnp.asarray(px),
+            py=jnp.asarray(py), pz=jnp.asarray(pz), vz=jnp.asarray(vz),
+            weight=jnp.asarray(w),
+        )
+        return dataclasses.replace(state, particles=particles), c
+
+    results = {}
+    for exchange in ("ring", "all_gather"):
+        state, c = seeded_state(exchange)
+        step = make_shardmap_step(c, mesh)
+        state = shard_state(state, mesh)
+        # frame 1 initializes (dt = 0, nothing moves); frame 2 advances
+        state, out = step(state, frames[0])
+        state, out = step(state, frames[1])
+        results[exchange] = {
+            "killed": int(out.metrics["mover_overflow_killed"]),
+            "alive": int(out.metrics["alive"]),
+        }
+    # ring: the 2-slab mover is undeliverable -> killed and counted
+    assert results["ring"]["killed"] >= 1, results
+    # all_gather: same mover is delivered (no overflow kill from distance)
+    assert results["all_gather"]["killed"] == 0, results
+    # and the ring run holds one fewer live particle than the all_gather run
+    assert results["all_gather"]["alive"] == results["ring"]["alive"] + 1, \
+        results
