@@ -19,12 +19,13 @@ from dspmap_tpu.io import rosbag
 from dspmap_tpu.utils import sim
 
 
-def small_cfg():
+def small_cfg(**kw):
     return example_node_settings(dsp_dynamic(
         nx=16, ny=16, nz=8, voxel_resolution=0.25,
         max_input_points=256, mover_capacity=2048,
         pyramid_slot_capacity=32, max_clusters=8,
         newborn_particles_per_point=4,
+        **kw,
     ))
 
 
@@ -198,4 +199,33 @@ def test_checkpoint_orbax_backend(tmp_path):
     )
     np.testing.assert_array_equal(
         np.asarray(state.origin), np.asarray(restored.origin)
+    )
+
+
+def test_checkpoint_config_switch_sanitizer(tmp_path):
+    """A state written under a free-motion config and restored under a
+    clamped one violates the pipeline's velocity-clamp write-site invariant
+    (vz==0 under limit-xy; the Pallas occupancy kernel's plane elision
+    relies on it).  load_state(cfg=...) re-applies the clamp; without cfg
+    the restore stays bit-exact (advisor round-4 low finding)."""
+    import dataclasses
+
+    cfg_free = small_cfg(limit_motion_to_xy_plane=False)
+    state = init_state(cfg_free, jax.random.key(5),
+                       init_particle_num=500, init_weight=0.05)
+    assert float(np.abs(np.asarray(state.particles.vz)).max()) > 0.0
+    path = tmp_path / "free.npz"
+    save_state(state, path)
+
+    cfg_clamped = small_cfg()  # limit_motion_to_xy_plane=True
+    template = init_state(cfg_clamped, jax.random.key(0))
+    restored = load_state(template, path, cfg=cfg_clamped)
+    assert float(np.abs(np.asarray(restored.particles.vz)).max()) == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(restored.particles.vx), np.asarray(state.particles.vx)
+    )
+
+    raw = load_state(template, path, sanitize=False)
+    np.testing.assert_array_equal(
+        np.asarray(raw.particles.vz), np.asarray(state.particles.vz)
     )
